@@ -1,0 +1,48 @@
+package graft.core
+
+/** Counter-based deterministic RNG (SplitMix64 stream).
+  *
+  * The reference draws decay probabilities from Go's *global* `math/rand/v2`
+  * (reference: sketch.go:155, sliding/sketch.go:229), which is not seedable —
+  * even the reference is only statistically reproducible on collision paths.
+  * We are stricter: every sketch carries its own SplitMix64 stream seeded from
+  * the engine config, so Spark task retries / checkpoint replays that re-feed
+  * the same update sequence reproduce identical state.
+  *
+  * SplitMix64 is the public-domain generator from Steele, Lea & Flood,
+  * "Fast Splittable Pseudorandom Number Generators" (OOPSLA'14), as published
+  * at https://prng.di.unimi.it/splitmix64.c.
+  */
+final class Rng(seed: Long) extends Serializable {
+  private var state: Long = seed
+
+  def this() = this(0x9e3779b97f4a7c15L)
+
+  @inline def nextLong(): Long = {
+    state += 0x9e3779b97f4a7c15L
+    var z = state
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Uniform float in [0, 1) with 24 bits of mantissa (same range/precision
+    * contract as Go's rand.Float32).
+    */
+  @inline def nextFloat(): Float =
+    (nextLong() >>> 40).toFloat / (1 << 24).toFloat
+
+  /** Current stream position — serialized with the sketch for exact replay. */
+  def getState: Long = state
+  def setState(s: Long): Unit = state = s
+}
+
+object Rng {
+  /** Derive a per-group RNG seed from config seed + group identity so that
+    * different groups/partitions draw independent streams but replays are exact.
+    */
+  def deriveSeed(configSeed: Long, groupKey: String): Long = {
+    val h = XxHash32.hashString(groupKey, (configSeed & 0x7fffffff).toInt)
+    configSeed * 0x9e3779b97f4a7c15L ^ (h.toLong << 17) ^ (configSeed >>> 31)
+  }
+}

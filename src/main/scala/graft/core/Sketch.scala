@@ -1,0 +1,219 @@
+package graft.core
+
+import java.nio.charset.StandardCharsets
+
+/** Sketch configuration with the reference's defaults
+  * (reference: sketch.go:41-67, options.go:3-17):
+  * width = max(256, ⌊k·ln k⌋), depth = max(3, ⌊ln k⌋), decay = 0.9, LUT size 256.
+  */
+final case class SketchConfig(
+    k: Int,
+    width: Int,
+    depth: Int,
+    decay: Float = 0.9f,
+    lutSize: Int = 256,
+    seed: Long = 0x5eed_70c4L
+) extends Serializable
+
+object SketchConfig {
+  def withDefaults(
+      k: Int,
+      width: Int = -1,
+      depth: Int = -1,
+      decay: Float = 0.9f,
+      lutSize: Int = 256,
+      seed: Long = 0x5eed_70c4L
+  ): SketchConfig = {
+    val logK  = math.log(k.toDouble).toInt
+    val klogK = (k.toDouble * math.log(k.toDouble)).toInt
+    SketchConfig(
+      k = k,
+      width = if (width > 0) width else math.max(256, klogK),
+      depth = if (depth > 0) depth else math.max(3, logK),
+      decay = decay,
+      lutSize = lutSize,
+      seed = seed
+    )
+  }
+
+  def decayLut(decay: Float, lutSize: Int): Array[Float] =
+    Array.tabulate(lutSize)(i => math.pow(decay.toDouble, i.toDouble).toFloat)
+}
+
+/** Plain (whole-stream / tumbling) HeavyKeeper top-K sketch.
+  *
+  * Semantics ported from the reference (reference: sketch.go:14-215):
+  * a depth×width array of (fingerprint, count) cells plus a bounded min-heap of
+  * the top-K items. `add` applies the HeavyKeeper update per row — claim empty
+  * buckets, increment own buckets, probabilistically decay colliding buckets
+  * with probability decay^count (sketch.go:129-166) — then offers the max
+  * per-row count to the heap.
+  *
+  * Counts are Long (superset of the reference's uint32; the reference may wrap
+  * at 2^32, we simply don't). Storage is flat row-major primitive arrays, the
+  * same cache-friendly layout as the reference (sketch.go:75-77).
+  *
+  * Beyond the reference: `merge` — a commutative sketch-union used as the
+  * Spark partial-aggregation monoid (the reference is strictly single-writer
+  * and has no union; see SURVEY.md §2.1).
+  */
+final class Sketch(val cfg: SketchConfig) extends Serializable {
+  val width: Int  = cfg.width
+  val depth: Int  = cfg.depth
+  private val cells = width * depth
+
+  val decayLUT: Array[Float]   = SketchConfig.decayLut(cfg.decay, cfg.lutSize)
+  val fingerprints: Array[Int] = new Array[Int](cells)
+  val counts: Array[Long]      = new Array[Long](cells)
+  val heap: MinHeap            = new MinHeap(cfg.k)
+  val rng: Rng                 = new Rng(cfg.seed)
+
+  def incr(item: String): Boolean = add(item, 1L)
+
+  def add(item: String, increment: Long): Boolean =
+    add(item, item.getBytes(StandardCharsets.UTF_8), increment)
+
+  /** Core update (reference: sketch.go:118-170). `bytes` must be the UTF-8
+    * encoding of `item` (passed separately so callers that already hold bytes
+    * — e.g. Spark's UTF8String — avoid re-encoding).
+    */
+  def add(item: String, bytes: Array[Byte], increment: Long): Boolean = {
+    val fingerprint = Hashing.fingerprint(bytes)
+    var maxCount    = 0L
+    var row         = 0
+    while (row < depth) {
+      val idx   = Hashing.bucketIndex(bytes, row, width)
+      val count = counts(idx)
+      if (count == 0L) { // empty bucket: claim it
+        fingerprints(idx) = fingerprint
+        counts(idx) = increment
+        if (increment > maxCount) maxCount = increment
+      } else if (fingerprints(idx) == fingerprint) { // own bucket
+        val c = count + increment
+        counts(idx) = c
+        if (c > maxCount) maxCount = c
+      } else { // collision: probabilistic decay (sketch.go:141-165)
+        var c                  = count
+        var incrementRemaining = increment
+        var break              = false
+        while (incrementRemaining > 0 && !break) {
+          val decay = decayAt(c)
+          if (rng.nextFloat() < decay) {
+            c -= 1
+            if (c == 0L) {
+              fingerprints(idx) = fingerprint
+              c = incrementRemaining
+              if (c > maxCount) maxCount = c
+              break = true
+            }
+          }
+          if (!break) incrementRemaining -= 1
+        }
+        counts(idx) = c
+      }
+      row += 1
+    }
+    heap.update(item, fingerprint, maxCount)
+  }
+
+  /** decay^count via LUT, with the reference's closed-form extension for
+    * counts beyond the LUT (sketch.go:146-153).
+    */
+  @inline private def decayAt(count: Long): Float = {
+    val lutSize = decayLUT.length
+    if (count < lutSize) decayLUT(count.toInt)
+    else {
+      val q = count / (lutSize - 1)
+      val r = (count % (lutSize - 1)).toInt
+      (math.pow(decayLUT(lutSize - 1).toDouble, q.toDouble).toFloat * decayLUT(r))
+    }
+  }
+
+  /** Point estimate (reference: sketch.go:90-111): exact tracked count on a
+    * heap hit, else max matching-fingerprint bucket count, else 0.
+    */
+  def count(item: String): Long = {
+    val tracked = heap.countOf(item)
+    if (tracked >= 0) return tracked
+    val bytes       = item.getBytes(StandardCharsets.UTF_8)
+    val fingerprint = Hashing.fingerprint(bytes)
+    var maxCount    = 0L
+    var row         = 0
+    while (row < depth) {
+      val idx = Hashing.bucketIndex(bytes, row, width)
+      if (fingerprints(idx) == fingerprint && counts(idx) > maxCount)
+        maxCount = counts(idx)
+      row += 1
+    }
+    maxCount
+  }
+
+  /** Top-K membership (reference: sketch.go:172-175). */
+  def query(item: String): Boolean = heap.contains(item)
+
+  /** Top-K entries sorted by (count desc, item asc), zero counts trimmed
+    * (reference: sketch.go:189-209).
+    */
+  def sortedSlice: Array[TopKEntry] = heap.sorted
+
+  /** Unsorted non-zero tracked entries (reference: sketch.go:177-187). */
+  def iterEntries: Array[TopKEntry] = heap.entries.filter(_.count > 0)
+
+  def reset(): Unit = {
+    java.util.Arrays.fill(fingerprints, 0)
+    java.util.Arrays.fill(counts, 0L)
+    heap.reset()
+  }
+
+  /** Approximate in-memory footprint (reference: sketch.go:79-88). */
+  def sizeBytes: Long =
+    64L + cells.toLong * 12 + decayLUT.length.toLong * 4 + heap.sizeBytes
+
+  /** Commutative sketch-union (NOT in the reference — engine extension, the
+    * Spark partial-aggregation monoid; design per SURVEY.md §2.1):
+    *   - cell-wise: equal fingerprints ⇒ sum counts; different ⇒ keep the
+    *     fingerprint with the larger count at count max(a,b) (ties broken by
+    *     unsigned fingerprint so the merge is commutative);
+    *   - heap: union both candidate sets, re-estimate each item against the
+    *     merged cells, keep the top-K under (count desc, item asc).
+    * Preserves the HeavyKeeper under-estimation property for items tracked in
+    * either input.
+    */
+  def merge(other: Sketch): Sketch = {
+    require(other.width == width && other.depth == depth, "sketch geometry mismatch")
+    var i = 0
+    while (i < cells) {
+      val ca = counts(i); val cb = other.counts(i)
+      if (cb != 0L) {
+        if (ca == 0L) {
+          counts(i) = cb; fingerprints(i) = other.fingerprints(i)
+        } else if (fingerprints(i) == other.fingerprints(i)) {
+          counts(i) = ca + cb
+        } else if (cb > ca || (cb == ca &&
+            (other.fingerprints(i).toLong & 0xffffffffL) < (fingerprints(i).toLong & 0xffffffffL))) {
+          counts(i) = cb; fingerprints(i) = other.fingerprints(i)
+        }
+      }
+      i += 1
+    }
+    // Union heap candidates, re-estimated against merged cells.
+    val candidates = (heap.entries ++ other.heap.entries).map(_.item).distinct
+    val estimated = candidates.map { it =>
+      val bytes = it.getBytes(StandardCharsets.UTF_8)
+      val fp    = Hashing.fingerprint(bytes)
+      var mx    = 0L
+      var row   = 0
+      while (row < depth) {
+        val idx = Hashing.bucketIndex(bytes, row, width)
+        if (fingerprints(idx) == fp && counts(idx) > mx) mx = counts(idx)
+        row += 1
+      }
+      TopKEntry(fp, it, mx)
+    }
+    heap.reset()
+    estimated.filter(_.count > 0).sortBy(e => (-e.count, e.item)).take(cfg.k).foreach { e =>
+      heap.update(e.item, e.fingerprint, e.count)
+    }
+    this
+  }
+}
