@@ -68,6 +68,9 @@ final class Sketch(val cfg: SketchConfig) extends Serializable {
   val heap: MinHeap            = new MinHeap(cfg.k)
   val rng: Rng                 = new Rng(cfg.seed)
 
+  /** JVM serialization travels as compact codec bytes (see SketchCodec). */
+  private def writeReplace(): AnyRef = new SerializedSketch(SketchCodec.encode(this))
+
   def incr(item: String): Boolean = add(item, 1L)
 
   def add(item: String, increment: Long): Boolean =

@@ -1,0 +1,143 @@
+package graft.core
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+/** Compact versioned binary layout for sketches — the serialization boundary
+  * between Spark's execution (partial-aggregate shuffles, state stores,
+  * checkpoints) and the mutable in-memory sketch objects.
+  *
+  * The reference documents its structs as "serializable using any
+  * serialization method" (reference: sketch.go:20, sliding/sketch.go:17-18);
+  * this is our concrete layout: header (magic, version, config), RNG stream
+  * position (for exact replay), cell arrays, heap entries.
+  */
+object SketchCodec {
+  private final val MagicPlain: Int   = 0x544b5031 // "TKP1"
+  private final val MagicSliding: Int = 0x544b5331 // "TKS1"
+
+  // ---------- plain ----------
+
+  def encode(s: Sketch): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(64 + s.counts.length * 12)
+    val out = new DataOutputStream(bos)
+    out.writeInt(MagicPlain)
+    out.writeInt(s.cfg.k); out.writeInt(s.cfg.width); out.writeInt(s.cfg.depth)
+    out.writeFloat(s.cfg.decay); out.writeInt(s.cfg.lutSize); out.writeLong(s.cfg.seed)
+    out.writeLong(s.rng.getState)
+    writeCells(out, s.fingerprints, s.counts)
+    writeHeap(out, s.heap)
+    out.flush()
+    bos.toByteArray
+  }
+
+  def decode(bytes: Array[Byte]): Sketch = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    require(in.readInt() == MagicPlain, "not a plain sketch payload")
+    val cfg = SketchConfig(in.readInt(), in.readInt(), in.readInt(),
+      in.readFloat(), in.readInt(), in.readLong())
+    val s = new Sketch(cfg)
+    s.rng.setState(in.readLong())
+    readCells(in, s.fingerprints, s.counts)
+    readHeap(in, s.heap)
+    s
+  }
+
+  // ---------- sliding ----------
+
+  def encodeSliding(s: SlidingSketch): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(96 + s.ring.length * 8 + s.countsSum.length * 16)
+    val out = new DataOutputStream(bos)
+    out.writeInt(MagicSliding)
+    out.writeInt(s.cfg.k); out.writeInt(s.cfg.width); out.writeInt(s.cfg.depth)
+    out.writeInt(s.cfg.windowSize); out.writeInt(s.cfg.bucketHistoryLength)
+    out.writeFloat(s.cfg.decay); out.writeInt(s.cfg.lutSize); out.writeLong(s.cfg.seed)
+    out.writeLong(s.rng.getState)
+    out.writeInt(s.nextBucketToExpire)
+    val m = s.countsSum.length
+    var i = 0
+    while (i < m) {
+      out.writeInt(s.fingerprints(i)); out.writeInt(s.first(i)); out.writeLong(s.countsSum(i))
+      i += 1
+    }
+    i = 0
+    while (i < s.ring.length) { out.writeLong(s.ring(i)); i += 1 }
+    writeHeap(out, s.heap)
+    out.flush()
+    bos.toByteArray
+  }
+
+  def decodeSliding(bytes: Array[Byte]): SlidingSketch = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    require(in.readInt() == MagicSliding, "not a sliding sketch payload")
+    val cfg = SlidingConfig(in.readInt(), in.readInt(), in.readInt(),
+      in.readInt(), in.readInt(), in.readFloat(), in.readInt(), in.readLong())
+    val s = new SlidingSketch(cfg)
+    s.rng.setState(in.readLong())
+    s.nextBucketToExpire = in.readInt()
+    val m = s.countsSum.length
+    var i = 0
+    while (i < m) {
+      s.fingerprints(i) = in.readInt(); s.first(i) = in.readInt(); s.countsSum(i) = in.readLong()
+      i += 1
+    }
+    i = 0
+    while (i < s.ring.length) { s.ring(i) = in.readLong(); i += 1 }
+    readHeap(in, s.heap)
+    s
+  }
+
+  // ---------- shared pieces ----------
+
+  private def writeCells(out: DataOutputStream, fps: Array[Int], counts: Array[Long]): Unit = {
+    out.writeInt(counts.length)
+    var i = 0
+    while (i < counts.length) {
+      out.writeInt(fps(i)); out.writeLong(counts(i))
+      i += 1
+    }
+  }
+
+  private def readCells(in: DataInputStream, fps: Array[Int], counts: Array[Long]): Unit = {
+    val n = in.readInt()
+    require(n == counts.length, "cell count mismatch")
+    var i = 0
+    while (i < n) {
+      fps(i) = in.readInt(); counts(i) = in.readLong()
+      i += 1
+    }
+  }
+
+  private def writeHeap(out: DataOutputStream, heap: MinHeap): Unit = {
+    out.writeInt(heap.size)
+    var i = 0
+    while (i < heap.size) {
+      out.writeInt(heap.fingerprintAt(i))
+      out.writeUTF(heap.itemAt(i))
+      out.writeLong(heap.countAt(i))
+      i += 1
+    }
+  }
+
+  private def readHeap(in: DataInputStream, heap: MinHeap): Unit = {
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      val fp    = in.readInt()
+      val item  = in.readUTF()
+      val count = in.readLong()
+      heap.update(item, fp, count)
+      i += 1
+    }
+  }
+}
+
+/** Java-serialization proxies so a Sketch travels through any JVM
+  * serialization boundary (Spark closures, javaSerialization encoders) as its
+  * compact codec bytes rather than object graphs.
+  */
+final class SerializedSketch(val bytes: Array[Byte]) extends Serializable {
+  def readResolve(): AnyRef = SketchCodec.decode(bytes)
+}
+final class SerializedSlidingSketch(val bytes: Array[Byte]) extends Serializable {
+  def readResolve(): AnyRef = SketchCodec.decodeSliding(bytes)
+}

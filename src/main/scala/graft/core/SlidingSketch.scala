@@ -113,6 +113,10 @@ final class SlidingSketch(val cfg: SlidingConfig) extends Serializable {
     minIdx
   }
 
+  /** JVM serialization travels as compact codec bytes (see SketchCodec). */
+  private def writeReplace(): AnyRef =
+    new SerializedSlidingSketch(SketchCodec.encodeSliding(this))
+
   def tick(): Unit = ticks(1)
 
   /** Advance time by n ticks (reference: sliding/sketch.go:110-129). */

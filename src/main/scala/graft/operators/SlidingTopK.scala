@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.core.SketchConfig
+import graft.functions.MergeSketchesAggregator
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed batch sliding-window top-K: the "ring of per-tick sub-sketches"
+  * realization of the reference's sliding semantics (sliding/sketch.go) —
+  * semantically the tick-ring with bucketHistoryLength = windowSize, where
+  * each tick's sub-counters live in their own sketch and window ageing is the
+  * sketch dropping out of the merge range.
+  *
+  * Plan shape (all distributed, no driver loop):
+  *   1. partial-aggregate one sketch per tick (map-side combine per partition,
+  *      shuffle = #ticks × sketch-size, independent of row count);
+  *   2. range-join each output tick t to its window ticks [t-N+1, t] —
+  *      #ticks × N tiny rows;
+  *   3. union-merge the window's sketches per t, emit top-K rows.
+  *
+  * At 100 TB the expensive step is (1), which is a single scan with map-side
+  * reduction; (2)+(3) operate on #ticks rows of fixed-size blobs. The
+  * event-time streaming equivalent (state-store ring, watermark-driven
+  * expiry) is `graft.streaming.SlidingTopKStream`.
+  */
+object SlidingTopK {
+
+  /** @param df         input rows
+    * @param tick       integer/date column defining the tick (event-time unit)
+    * @param item       item column (cast to string)
+    * @param weight     per-row weight
+    * @param windowTicks window size N in ticks
+    * @param cfg        sketch geometry; cfg.k is the candidate-tracking
+    *                   capacity per tick-sketch (oversample upstream of this)
+    * @param k          emitted rows per tick
+    * Output: (tick, rank, item, count) for every tick present in the input,
+    * where count sums the item's weight over ticks [t-N+1, t].
+    */
+  def perTick(
+      df: DataFrame,
+      tick: Column,
+      item: Column,
+      weight: Column,
+      windowTicks: Int,
+      cfg: SketchConfig,
+      k: Int
+  ): DataFrame = {
+    val updates = df.select(
+      tick.cast("long").as("tick"),
+      item.cast("string").as("item"),
+      weight.cast("long").as("weight")
+    )
+    val perTickSketch = updates
+      .groupBy(col("tick"))
+      .agg(TopK.sketchUdafFor(cfg)(col("item"), col("weight")).as("sketch"))
+
+    // window range-join: output tick t <- source sketches of [t-N+1, t].
+    // Both sides are #ticks rows; broadcast the slim tick list.
+    val ticks  = perTickSketch.select(col("tick").as("out_tick"))
+    val window = ticks.join(
+      perTickSketch,
+      col("tick").between(col("out_tick") - (windowTicks - 1), col("out_tick")),
+      "inner"
+    )
+    val mergeUdaf = udaf(new MergeSketchesAggregator(cfg, k))
+    window
+      .groupBy(col("out_tick"))
+      .agg(mergeUdaf(col("sketch")).as("topk"))
+      .select(col("out_tick").as("tick"), posexplode(col("topk")).as(Seq("rank0", "e")))
+      .select(
+        col("tick"),
+        (col("rank0") + 1).cast("long").as("rank"),
+        col("e.item"),
+        col("e.count"),
+        col("e.fingerprint")
+      )
+  }
+}

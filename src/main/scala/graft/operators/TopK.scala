@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.core.{Sketch, SketchCodec, SketchConfig}
+import graft.functions.{TopKAggregator, TopKSketchBytesAggregator}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+
+/** High-level top-K operators over DataFrames.
+  *
+  * The plan shape is deliberate for 100 TB scale: the HeavyKeeper aggregator
+  * runs as a partial aggregate on every input partition (map-side, no row
+  * leaves the executor), then ships one fixed-size sketch per (group ×
+  * partition) through the shuffle and merges. Token/item skew therefore
+  * cannot skew the shuffle — the reduction payload is O(partitions · d · w),
+  * independent of row counts.
+  */
+object TopK {
+
+  /** The UDAF handle: `df.agg(TopK.udafFor(cfg)($"item", $"weight"))`. */
+  def udafFor(cfg: SketchConfig, oversample: Int = 4): UserDefinedFunction =
+    udaf(new TopKAggregator(cfg, oversample))
+
+  /** UDAF emitting the serialized sketch blob instead of rows. */
+  def sketchUdafFor(cfg: SketchConfig): UserDefinedFunction =
+    udaf(new TopKSketchBytesAggregator(cfg))
+
+  /** Global top-K of `item` by total `weight`.
+    * Output: (item string, count long, fingerprint long), ordered by
+    * (count desc, item asc) — the reference's SortedSlice order
+    * (reference: sketch.go:189-209).
+    */
+  def aggregate(df: DataFrame, item: Column, weight: Column, cfg: SketchConfig,
+                oversample: Int = 4): DataFrame =
+    df.select(item.cast("string").as("item"), weight.cast("long").as("weight"))
+      .agg(udafFor(cfg, oversample)(col("item"), col("weight")).as("topk"))
+      .select(explode(col("topk")).as("e"))
+      .select(col("e.item"), col("e.count"), col("e.fingerprint"))
+      .orderBy(col("count").desc, col("item").asc)
+
+  /** Per-group top-K: one top-K list per value of `groupCols` (e.g. a
+    * tumbling `window($"ts", ...)` column, a `source` dimension, or both).
+    */
+  def aggregateBy(df: DataFrame, groupCols: Seq[Column], item: Column, weight: Column,
+                  cfg: SketchConfig, oversample: Int = 4): DataFrame = {
+    val keyed = df.select((groupCols :+ item.cast("string").as("item")
+      :+ weight.cast("long").as("weight")): _*)
+    val groupNames = keyed.columns.dropRight(2).map(col)
+    keyed
+      .groupBy(groupNames: _*)
+      .agg(udafFor(cfg, oversample)(col("item"), col("weight")).as("topk"))
+      .select((groupNames :+ posexplode(col("topk")).as(Seq("rank0", "e"))): _*)
+      .select((groupNames :+ (col("rank0") + 1).cast("long").as("rank") :+ col("e.item")
+        :+ col("e.count") :+ col("e.fingerprint")): _*)
+  }
+
+  /** `Count(item)` over a serialized sketch blob (reference: sketch.go:90-111)
+    * as a scalar UDF: `topkCount(sketchCol, itemCol)`.
+    */
+  val countUdf: UserDefinedFunction =
+    udf((bytes: Array[Byte], item: String) =>
+      if (bytes == null || item == null) 0L else SketchCodec.decode(bytes).count(item))
+
+  /** `Query(item)` membership over a serialized sketch blob
+    * (reference: sketch.go:172-175).
+    */
+  val queryUdf: UserDefinedFunction =
+    udf((bytes: Array[Byte], item: String) =>
+      if (bytes == null || item == null) false else SketchCodec.decode(bytes).query(item))
+
+  /** Exact top-K oracle with the same output shape and ordering — the
+    * differential-testing baseline (SURVEY.md §5.3). Spark picks
+    * hash-aggregate + TakeOrderedAndProject here; at scale this is the
+    * expensive exact plan the sketch replaces.
+    */
+  def exact(df: DataFrame, item: Column, weight: Column, k: Int): DataFrame =
+    df.select(item.cast("string").as("item"), weight.cast("long").as("weight"))
+      .groupBy(col("item"))
+      .agg(sum(col("weight")).as("count"))
+      .orderBy(col("count").desc, col("item").asc)
+      .limit(k)
+}

@@ -1,0 +1,106 @@
+package graft.spark
+
+import graft.core.{Hashing, SketchConfig}
+import graft.functions.TokenUpdate
+import graft.operators.TopK
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TopKAggregatorSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("golden parity on a single partition (sliding/sketch_test.go:97-127 shape)") {
+    val updates = Seq(
+      TokenUpdate("X", 5L), TokenUpdate("Y", 3L), TokenUpdate("Z", 2L), TokenUpdate("Y", 1L)
+    )
+    val df  = spark.createDataset(updates).repartition(1).toDF()
+    val cfg = SketchConfig.withDefaults(3, width = 256, depth = 3)
+    val out = TopK.aggregate(df, col("item"), col("weight"), cfg).collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("X", 5L), ("Y", 4L), ("Z", 2L)))
+    assert(out.map(_.getLong(2)).toSeq ==
+      Seq("X", "Y", "Z").map(Hashing.fingerprint(_).toLong & 0xffffffffL))
+  }
+
+  test("multi-partition merge: exact when collision-free, matches exact oracle") {
+    // 60 distinct items, width 1024 -> effectively collision-free; counts
+    // must be exact and the top-K must equal the exact oracle including order.
+    val rows = (0 until 6000).map { i =>
+      val item = s"it${i % 60}"
+      TokenUpdate(item, (i % 7 + 1).toLong)
+    }
+    val df  = spark.createDataset(rows).repartition(8).toDF()
+    val cfg = SketchConfig.withDefaults(10, width = 1024, depth = 3)
+    val ours  = TopK.aggregate(df, col("item"), col("weight"), cfg)
+      .select("item", "count").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val exact = TopK.exact(df, col("item"), col("weight"), 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(ours == exact)
+  }
+
+  test("statistical: skewed stream, no over-estimation, high recall") {
+    val n     = 50000
+    val rng   = new java.util.Random(7)
+    val items = (0 until n).map { _ =>
+      val u = rng.nextDouble()
+      TokenUpdate(s"t${(2000 * u * u * u).toInt}", 1L)
+    }
+    val df  = spark.createDataset(items).repartition(8).toDF()
+    val cfg = SketchConfig.withDefaults(20, width = 1024, depth = 3)
+    val ours = TopK.aggregate(df, col("item"), col("weight"), cfg)
+      .select("item", "count").collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val truth = items.groupBy(_.item).view.mapValues(_.map(_.weight).sum).toMap
+    val exactTop = truth.toSeq.sortBy { case (i, c) => (-c, i) }.take(20).map(_._1).toSet
+    // under-estimation only
+    ours.foreach { case (item, est) =>
+      assert(est <= truth(item), s"$item over-estimated: $est > ${truth(item)}")
+    }
+    // recall@20 >= 0.9 on this distribution
+    val recall = ours.keySet.intersect(exactTop).size
+    assert(recall >= 18, s"recall@20 = $recall")
+  }
+
+  test("per-group top-K (aggregateBy) with rank") {
+    val rows = Seq(
+      ("web", "a", 5L), ("web", "b", 3L), ("web", "a", 2L),
+      ("code", "x", 9L), ("code", "a", 1L)
+    ).toDF("source", "item", "weight")
+    val cfg = SketchConfig.withDefaults(2, width = 256, depth = 3)
+    val out = TopK.aggregateBy(rows, Seq(col("source")), col("item"), col("weight"), cfg)
+      .orderBy(col("source"), col("rank"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("code", 1L, "x", 9L), ("code", 2L, "a", 1L),
+      ("web", 1L, "a", 7L), ("web", 2L, "b", 3L)
+    ))
+  }
+
+  test("sketch-blob aggregator + count/query UDFs (Count/Query surface)") {
+    val df  = Seq(("X", 5L), ("Y", 3L), ("Z", 2L)).toDF("item", "weight")
+    val cfg = SketchConfig.withDefaults(2, width = 256, depth = 3)
+    val blob = df.agg(TopK.sketchUdafFor(cfg)(col("item"), col("weight")).as("sk"))
+    val checked = blob.select(
+      TopK.countUdf(col("sk"), lit("X")).as("cx"),
+      TopK.countUdf(col("sk"), lit("Z")).as("cz"),
+      TopK.queryUdf(col("sk"), lit("X")).as("qx"),
+      TopK.queryUdf(col("sk"), lit("Z")).as("qz"),
+      TopK.queryUdf(col("sk"), lit("nope")).as("qn")
+    ).head()
+    assert(checked.getLong(0) == 5L)
+    assert(checked.getLong(1) == 2L) // estimate from buckets (evicted from k=2 heap)
+    assert(checked.getBoolean(2))
+    assert(!checked.getBoolean(3)) // Z not in top-2
+    assert(!checked.getBoolean(4))
+  }
+
+  test("codec round-trip preserves behavior") {
+    val s = new graft.core.Sketch(SketchConfig.withDefaults(5, width = 128, depth = 3))
+    Seq("a" -> 9L, "b" -> 4L, "c" -> 2L).foreach { case (i, c) => s.add(i, c) }
+    val back = graft.core.SketchCodec.decode(graft.core.SketchCodec.encode(s))
+    assert(back.sortedSlice.toSeq == s.sortedSlice.toSeq)
+    assert(back.count("a") == 9L)
+    back.add("d", 11L)
+    assert(back.sortedSlice.head.item == "d")
+  }
+}
