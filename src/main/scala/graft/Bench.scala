@@ -1,24 +1,92 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import graft.core.SketchConfig
+import graft.operators.TopK
+import graft.sources.TokenTables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-round benchmark: one JSON line on stdout.
+  *
+  * Measures (a) the driver-contract queries on SPARK_GRAFT_SF_DIR and (b) the
+  * north-star token-update throughput: explode the deterministic synthetic
+  * sequence table (input_hint shape) into token updates and aggregate the
+  * global HeavyKeeper top-K, on the reference's benchmark geometries
+  * (sketch_bench_test.go grid corners: K=10 d=3 w=1024 and K=100 d=4 w=8192).
+  */
 object Bench {
+
+  /** Deterministic bench table: ~20M tokens (40k docs x ~512 mean). */
+  final val BenchDocs   = 40000L
+  final val BenchTokensDir = "data/bench_tokens"
+
+  def ensureBenchTable(spark: SparkSession): (String, Long) = {
+    val dir = TokenTables.ensure(spark, BenchTokensDir, BenchDocs, numPartitions = 64)
+    val nTokens = spark.read.parquet(dir).agg(sum("n_tok")).head().getLong(0)
+    (dir, nTokens)
+  }
+
+  def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a  = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** The measured token job: scan -> explode -> HK partial agg -> merge -> top-K. */
+  def tokenTopK(spark: SparkSession, dir: String, cfg: SketchConfig): Array[(String, Long)] = {
+    val updates = TokenTables.tokenUpdates(spark.read.parquet(dir))
+    TopK.aggregate(updates, col("item"), col("weight"), cfg)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+  }
+
+  def tokenExact(spark: SparkSession, dir: String, k: Int): Array[(String, Long)] = {
+    val updates = TokenTables.tokenUpdates(spark.read.parquet(dir))
+    TopK.exact(updates, col("item"), col("weight"), k)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+  }
+
+  val cfgLight: SketchConfig = SketchConfig.withDefaults(10, width = 1024, depth = 3)
+  val cfgHeavy: SketchConfig = SketchConfig.withDefaults(100, width = 8192, depth = 4)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      // the bench table is small but many-filed; size scan splits for full
+      // parallelism (at 100 TB the defaults already yield thousands of splits)
+      .config("spark.sql.files.maxPartitionBytes", "2m")
+      .config("spark.sql.files.openCostInBytes", "262144")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    // --- driver-contract queries on the sf tables ---
+    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (_, sec) = time { try fn(spark, sfDir).collect() catch { case _: Throwable => Array.empty } }
+      name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // --- token throughput on the synthetic sequence table ---
+    val (dir, nTokens) = ensureBenchTable(spark)
+    tokenTopK(spark, dir, cfgLight) // warmup (JIT + page cache)
+    val (_, lightSec) = time(tokenTopK(spark, dir, cfgLight))
+    val (_, heavySec) = time(tokenTopK(spark, dir, cfgHeavy))
+    val (_, exactSec) = time(tokenExact(spark, dir, 100))
+
+    val all = queryTimes ++ Seq(
+      "tokens_topk_k10_w1024_d3"  -> lightSec,
+      "tokens_topk_k100_w8192_d4" -> heavySec,
+      "tokens_exact_top100"       -> exactSec
+    )
+    val qs    = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val total = all.map(_._2).sum
+    val tokPerSec = (nTokens / lightSec).toLong
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","tokens":$nTokens%d,"tokens_per_sec":$tokPerSec%d,"cpus":$cpus%s}""")
     spark.stop()
   }
 }

@@ -1,0 +1,223 @@
+package graft.streaming
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import graft.core.{Rng, SketchCodec, SketchConfig, SlidingConfig, SlidingSketch}
+import graft.operators.TopK
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One emitted sliding-window result row: top-`rank` item of `key`'s window
+  * as of the end of `tick`.
+  */
+final case class TickTopK(key: String, tick: Long, rank: Int, item: String,
+                          count: Long, fingerprint: Long)
+
+/** Streaming top-K engines.
+  *
+  * Tumbling: plain watermarked window aggregation — each window is its own
+  * sketch group, the use-then-discard pattern of the reference's `Reset`
+  * (reference: sketch.go:211-215). Fully partition-parallel: partial sketches
+  * per executor merge through the streaming aggregation's state store.
+  *
+  * Sliding: the reference's tick ring (reference: sliding/sketch.go:106-129)
+  * as a `flatMapGroupsWithState` operator. Event-time ticks; the watermark
+  * drives `Ticks(n)` exactly like the reference's caller does manually
+  * (reference: sliding/sketch_test.go:376-388). Emission is EXACTLY-ONCE per
+  * (key, tick): a tick's top-K is emitted only once the watermark proves the
+  * tick complete; later-arriving rows for emitted ticks are already excluded
+  * by the upstream watermark. Updates ahead of the watermark are buffered in
+  * the state value, so replays from checkpoint reproduce identical rows.
+  */
+object TopKStreams {
+
+  /** Tumbling-window streaming top-K.
+    * @param updates streaming DataFrame with (ts timestamp, item string, weight long)
+    * Output (append mode, finalized on watermark): window, rank, item, count, fingerprint.
+    */
+  def tumbling(
+      updates: DataFrame,
+      windowDuration: String,
+      watermarkDelay: String,
+      cfg: SketchConfig,
+      oversample: Int = 4
+  ): DataFrame =
+    updates
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDuration))
+      .agg(TopK.udafFor(cfg, oversample)(col("item"), col("weight")).as("topk"))
+      .select(col("window"), posexplode(col("topk")).as(Seq("rank0", "e")))
+      .select(col("window"), (col("rank0") + 1).cast("long").as("rank"),
+        col("e.item"), col("e.count"), col("e.fingerprint"))
+
+  /** Sliding-window streaming top-K over event-time ticks.
+    *
+    * @param updates streaming DataFrame with (key string, ts timestamp,
+    *                item string, weight long); `key` partitions independent
+    *                sliding sketches (use a constant for one global window)
+    * @param tickMillis   tick duration; tick(row) = floor(ts / tickMillis)
+    * @param watermarkDelay lateness bound; also defines tick completeness
+    * @param cfg     sliding geometry; cfg.windowSize is the window in ticks
+    * @param emitK   rows emitted per completed tick
+    */
+  def sliding(
+      updates: DataFrame,
+      tickMillis: Long,
+      watermarkDelay: String,
+      cfg: SlidingConfig,
+      emitK: Int
+  ): Dataset[TickTopK] = {
+    val spark = updates.sparkSession
+    import spark.implicits._
+
+    // the watermarked ts column must flow into the stateful operator itself
+    // (Spark's event-time-timeout check requires it), so keep it typed
+    val typed = updates
+      .withWatermark("ts", watermarkDelay)
+      .select(
+        col("key").cast("string").as("_1"),
+        col("ts").as("_2"),
+        col("item").cast("string").as("_3"),
+        col("weight").cast("long").as("_4")
+      )
+      .as[(String, java.sql.Timestamp, String, Long)]
+
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        processSlidingGroup(cfg, tickMillis, emitK))
+  }
+
+  /** Per-group sliding state machine. State layout (codec in SlidingStreamCodec):
+    * sliding sketch + clock tick + pending updates beyond the watermark.
+    *
+    * Per-tick cadence matches the reference's caller protocol — adds for tick
+    * t, read top-K, then Tick() (reference: sliding/sketch_test.go:176-296):
+    * each completed tick emits its own top-K rows, exactly once. Long empty
+    * gaps fast-forward through `ticks(n)` once the heap has drained (those
+    * ticks would emit zero rows anyway).
+    */
+  private def processSlidingGroup(cfg: SlidingConfig, tickMillis: Long, emitK: Int)(
+      key: String,
+      rows: Iterator[(String, java.sql.Timestamp, String, Long)],
+      state: GroupState[Array[Byte]]
+  ): Iterator[TickTopK] = {
+    val st = state.getOption.map(SlidingStreamCodec.decode)
+      .getOrElse(SlidingStreamState.fresh(cfg, key))
+
+    // buffer incoming updates as (tick, item, weight)
+    rows.foreach { case (_, t, item, weight) =>
+      st.pending += ((Math.floorDiv(t.getTime, tickMillis), item, weight))
+    }
+
+    // a tick t is complete iff watermark >= (t+1)*tickMillis
+    val wmMillis = state.getCurrentWatermarkMs()
+    val completeThrough =
+      if (wmMillis <= 0) Long.MinValue else Math.floorDiv(wmMillis, tickMillis) - 1
+
+    val out = Vector.newBuilder[TickTopK]
+    if (completeThrough > Long.MinValue) {
+      val (ready, hold) = st.pending.partition(_._1 <= completeThrough)
+      st.pending.clear()
+      st.pending ++= hold
+
+      val byTick = ready.groupBy(_._1)
+      if (st.clockTick == Long.MinValue && byTick.nonEmpty)
+        st.clockTick = byTick.keys.min // clock starts at first-ever data tick
+
+      if (st.clockTick != Long.MinValue) {
+        val dataTicks = byTick.keys.toArray.sorted
+        var di        = 0
+        while (st.clockTick <= completeThrough) {
+          val t = st.clockTick
+          while (di < dataTicks.length && dataTicks(di) < t) di += 1
+          val ups = byTick.get(t)
+          if (ups.isEmpty && st.sketch.heap.size == 0) {
+            // empty sketch + no data at t: jump to the next data tick (or out)
+            val nextData =
+              if (di < dataTicks.length) dataTicks(di) else completeThrough + 1
+            val jump = math.min(nextData, completeThrough + 1) - t
+            st.sketch.ticks(jump.min(Int.MaxValue).toInt)
+            st.clockTick += jump
+          } else {
+            // adds for tick t in stable order (deterministic across replays)
+            ups.foreach(_.sortBy(u => (u._2, u._3)).foreach(u => st.sketch.add(u._2, u._3)))
+            st.sketch.sortedSlice.iterator.take(emitK).zipWithIndex.foreach { case (e, i) =>
+              out += TickTopK(key, t, i + 1, e.item, e.count,
+                e.fingerprint.toLong & 0xffffffffL)
+            }
+            st.sketch.tick()
+            st.clockTick += 1
+          }
+        }
+      }
+    }
+
+    if (st.pending.isEmpty && st.sketch.heap.size == 0) {
+      // fully drained: drop the state (bounded state for idle keys; a later
+      // arrival re-initializes the clock from its own tick)
+      state.remove()
+    } else {
+      state.update(SlidingStreamCodec.encode(st))
+      // wake up when the watermark can complete the next interesting tick:
+      // the earliest pending tick's end, or the next boundary past the clock.
+      // Must be > current watermark (Spark requirement), even when wm == 0.
+      val nextInteresting =
+        if (st.pending.nonEmpty) (st.pending.iterator.map(_._1).min + 1) * tickMillis
+        else (st.clockTick + 1) * tickMillis
+      state.setTimeoutTimestamp(math.max(nextInteresting, wmMillis + 1))
+    }
+    out.result().iterator
+  }
+}
+
+/** Mutable per-group sliding stream state. */
+final class SlidingStreamState(
+    val sketch: SlidingSketch,
+    var clockTick: Long, // tick currently accepting adds; MinValue = no data yet
+    val pending: scala.collection.mutable.ArrayBuffer[(Long, String, Long)]
+)
+
+object SlidingStreamState {
+  def fresh(cfg: SlidingConfig, key: String): SlidingStreamState =
+    new SlidingStreamState(
+      new SlidingSketch(cfg.copy(seed = Rng.deriveSeed(cfg.seed, key))),
+      Long.MinValue,
+      scala.collection.mutable.ArrayBuffer.empty
+    )
+}
+
+object SlidingStreamCodec {
+  def encode(st: SlidingStreamState): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    val sk  = SketchCodec.encodeSliding(st.sketch)
+    out.writeInt(sk.length)
+    out.write(sk)
+    out.writeLong(st.clockTick)
+    out.writeInt(st.pending.size)
+    st.pending.foreach { case (t, i, w) =>
+      out.writeLong(t); out.writeUTF(i); out.writeLong(w)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  def decode(bytes: Array[Byte]): SlidingStreamState = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val skLen = in.readInt()
+    val skBytes = new Array[Byte](skLen)
+    in.readFully(skBytes)
+    val sketch   = SketchCodec.decodeSliding(skBytes)
+    val clockTick = in.readLong()
+    val n        = in.readInt()
+    val pending  = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    var i = 0
+    while (i < n) {
+      pending += ((in.readLong(), in.readUTF(), in.readLong()))
+      i += 1
+    }
+    new SlidingStreamState(sketch, clockTick, pending)
+  }
+}
