@@ -32,8 +32,18 @@ object Bench {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
-  /** The measured token job: scan -> explode -> HK partial agg -> merge -> top-K. */
+  /** The measured token job: scan -> array-native HK partial agg -> merge ->
+    * top-K (no explode stage; the HK loop runs over each row's token array).
+    */
   def tokenTopK(spark: SparkSession, dir: String, cfg: SketchConfig): Array[(String, Long)] = {
+    TopK.tokensArray(spark.read.parquet(dir), col("tokens"), cfg)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+  }
+
+  /** The explode-pipeline variant (generic item path), kept as a secondary
+    * metric for the per-row aggregate surface.
+    */
+  def tokenTopKExplode(spark: SparkSession, dir: String, cfg: SketchConfig): Array[(String, Long)] = {
     val updates = TokenTables.tokenUpdates(spark.read.parquet(dir))
     TopK.aggregate(updates, col("item"), col("weight"), cfg)
       .collect().map(r => (r.getString(0), r.getLong(1)))
@@ -73,13 +83,15 @@ object Bench {
     // --- token throughput on the synthetic sequence table ---
     val (dir, nTokens) = ensureBenchTable(spark)
     tokenTopK(spark, dir, cfgLight) // warmup (JIT + page cache)
-    val (_, lightSec) = time(tokenTopK(spark, dir, cfgLight))
-    val (_, heavySec) = time(tokenTopK(spark, dir, cfgHeavy))
-    val (_, exactSec) = time(tokenExact(spark, dir, 100))
+    val lightSec   = (1 to 3).map(_ => time(tokenTopK(spark, dir, cfgLight))._2).min
+    val heavySec   = (1 to 3).map(_ => time(tokenTopK(spark, dir, cfgHeavy))._2).min
+    val (_, explodeSec) = time(tokenTopKExplode(spark, dir, cfgLight))
+    val (_, exactSec)   = time(tokenExact(spark, dir, 100))
 
     val all = queryTimes ++ Seq(
       "tokens_topk_k10_w1024_d3"  -> lightSec,
       "tokens_topk_k100_w8192_d4" -> heavySec,
+      "tokens_topk_explode_path"  -> explodeSec,
       "tokens_exact_top100"       -> exactSec
     )
     val qs    = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")

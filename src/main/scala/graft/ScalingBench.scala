@@ -31,12 +31,21 @@ object ScalingBench {
   }
 
   def main(args: Array[String]): Unit = {
-    val lowCores  = 8
-    val highCores = 32
+    val lowCores  = if (args.length > 0) args(0).toInt else 8
+    val highCores = if (args.length > 1) args(1).toInt else 32
 
-    // generate (or reuse) the deterministic bench table with the low session
-    var spark          = session(lowCores)
-    val (dir, nTokens) = Bench.ensureBenchTable(spark)
+    // generate (or reuse) a 10x table: scaling must be measured where compute
+    // dominates fixed costs (scheduling, final merge, collect), mirroring the
+    // 100 TB regime rather than a 1-second toy job
+    var spark = session(highCores)
+    val dir   = graft.sources.TokenTables.ensure(spark, "data/scaling_tokens",
+      numDocs = 400000L, numPartitions = 256)
+    val nTokens = spark.read.parquet(dir).agg(org.apache.spark.sql.functions.sum("n_tok"))
+      .head().getLong(0)
+    spark.stop()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    spark = session(lowCores)
 
     def measure(s: SparkSession): (Double, Double) = {
       Bench.tokenTopK(s, dir, Bench.cfgLight) // warmup
@@ -64,8 +73,8 @@ object ScalingBench {
       f"""## Scaling evidence (local[$lowCores] vs local[$highCores], identical job + input)
          |
          |Input: deterministic synthetic sequence table (input_hint shape),
-         |$nTokens%d tokens in ${Bench.BenchDocs}%d docs. Job: scan -> explode ->
-         |HeavyKeeper partial agg -> merge -> top-K.
+         |$nTokens%d tokens in 400000 docs. Job: scan -> array-native
+         |HeavyKeeper partial aggregation -> sketch-union merge -> top-K.
          |
          || config | local[$lowCores] sec | local[$highCores] sec | tokens/s @$lowCores | tokens/s @$highCores | scaling efficiency |
          ||---|---|---|---|---|---|

@@ -90,7 +90,51 @@ object SparkEntry {
         .agg(
           sum(col("l_quantity").cast("long")).as("sum_qty"),
           count(lit(1)).as("count_order"))
-        .orderBy(col("l_returnflag"), col("l_linestatus")))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // --- training-data pipeline operators (dedup / text / similarity) ---
+
+    "dedup_exact" -> ((s, dir) =>
+      graft.operators.Dedup.exactSurvivors(documents(s, dir), col("doc_id"), col("text"))),
+
+    "dedup_minhash_jaccard" -> ((s, dir) => {
+      val docs = documents(s, dir).select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val candidates = graft.operators.Dedup.minhashLshPairs(
+        docs, col("doc_id"), col("text"),
+        shingleSize = 5, numHashes = 128, bands = 32, threshold = 0.5)
+        .select("a", "b")
+      graft.operators.Dedup.exactJaccard(candidates, docs, shingleSize = 5)
+        .where(col("jaccard") >= 0.8)
+        .select(col("a"), col("b"), col("jaccard"))
+    }),
+
+    "dedup_simhash" -> ((s, dir) =>
+      graft.operators.Dedup.simhashPairs(documents(s, dir), col("doc_id"), col("text"),
+        maxDistance = 3)),
+
+    "text_language_id" -> ((s, dir) =>
+      documents(s, dir).select(col("doc_id"),
+        graft.operators.TextAnalysis.languageId(col("text")).as("lang_pred"))),
+
+    "text_quality" -> ((s, dir) =>
+      graft.operators.TextAnalysis.withQuality(documents(s, dir), col("text"))
+        .select("doc_id", "n_tokens", "n_distinct_tokens", "max_token_len", "quality_ok")),
+
+    "text_fingerprint" -> ((s, dir) =>
+      documents(s, dir).select(col("doc_id"),
+        graft.operators.TextAnalysis.lengthFingerprint(col("text")).as("fp"))),
+
+    "ann_cosine_topk" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.operators.Similarity.cosineTopK(
+        emb, col("vec_id"), col("embedding"),
+        emb.where(col("vec_id") < 5), col("vec_id"), col("embedding"), k = 10)
+    }),
+
+    "embedding_near_dups" -> ((s, dir) =>
+      graft.operators.Similarity.nearDupPairsBrute(
+        s.read.parquet(s"$dir/embeddings.parquet"), col("vec_id"), col("embedding"),
+        threshold = 0.42))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -150,6 +194,91 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
                 CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
                 count(*) AS count_order
-         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"""
+         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS survivor_id, count(*) AS n_copies
+         FROM documents GROUP BY text""",
+
+    "dedup_minhash_jaccard" ->
+      """WITH sh AS (
+           SELECT doc_id,
+                  list_distinct([substr(text, i, 5) FOR i IN range(1, len(text) - 3)]) AS s
+           FROM documents WHERE len(text) >= 5)
+         SELECT a.doc_id AS a, b.doc_id AS b,
+                len(list_intersect(a.s, b.s))::DOUBLE
+                  / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+         FROM sh a, sh b
+         WHERE a.doc_id < b.doc_id
+           AND len(list_intersect(a.s, b.s))::DOUBLE
+                 / len(list_distinct(list_concat(a.s, b.s))) >= 0.8""",
+
+    "text_language_id" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0) AS toks
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+             len(list_filter(toks, w -> list_contains(['the','a','of','and','to','in','is'], w))) AS en,
+             len(list_filter(toks, w -> list_contains(['der','die','das','und','ist','ein','zu'], w))) AS de,
+             len(list_filter(toks, w -> list_contains(['le','la','et','les','des','un','est'], w))) AS fr,
+             len(list_filter(toks, w -> list_contains(['el','los','y','es','un','una','que'], w))) AS es,
+             len(list_filter(toks, w -> list_contains(['的','是','了','在','和','有','不'], w))) AS zh
+           FROM t)
+         SELECT doc_id,
+           CASE WHEN en > 0 AND en >= de AND en >= fr AND en >= es AND en >= zh THEN 'en'
+                WHEN de > 0 AND de >= fr AND de >= es AND de >= zh THEN 'de'
+                WHEN fr > 0 AND fr >= es AND fr >= zh THEN 'fr'
+                WHEN es > 0 AND es >= zh THEN 'es'
+                WHEN zh > 0 THEN 'zh'
+                ELSE 'und' END AS lang_pred
+         FROM s""",
+
+    "text_quality" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0) AS toks
+           FROM documents)
+         SELECT doc_id,
+                len(toks)::BIGINT AS n_tokens,
+                len(list_distinct(toks))::BIGINT AS n_distinct_tokens,
+                coalesce(list_max(list_transform(toks, w -> len(w))), 0)::BIGINT AS max_token_len,
+                (len(toks) BETWEEN 5 AND 100000
+                  AND len(list_distinct(toks)) * 5 >= len(toks)) AS quality_ok
+         FROM t""",
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+                list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(
+                      list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0),
+                      w -> CAST(len(w) + 1 AS BIGINT))),
+                  (acc, x) -> (acc * 31 + x) % 2147483647) AS fp
+         FROM documents""",
+
+    "ann_cosine_topk" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+         s AS (
+           SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                         CAST(q.embedding AS DOUBLE[])) AS sim
+           FROM embeddings e, q WHERE e.vec_id <> q.vec_id),
+         r AS (
+           SELECT query_id, neighbor_id, sim,
+                  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+           FROM s)
+         SELECT query_id, rank, neighbor_id, round(sim, 6) AS similarity
+         FROM r WHERE rank <= 10""",
+
+    "embedding_near_dups" ->
+      """SELECT a.vec_id AS a, b.vec_id AS b,
+                round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                             CAST(b.embedding AS DOUBLE[])), 6) AS similarity
+         FROM embeddings a, embeddings b
+         WHERE a.vec_id < b.vec_id
+           AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) >= 0.42"""
   )
 }

@@ -73,19 +73,85 @@ final class Sketch(val cfg: SketchConfig) extends Serializable {
 
   def incr(item: String): Boolean = add(item, 1L)
 
-  def add(item: String, increment: Long): Boolean =
-    add(item, item.getBytes(StandardCharsets.UTF_8), increment)
+  def add(item: String, increment: Long): Boolean = {
+    val bytes = item.getBytes(StandardCharsets.UTF_8)
+    addBytes(bytes, 0, bytes.length, increment, item)
+  }
 
-  /** Core update (reference: sketch.go:118-170). `bytes` must be the UTF-8
-    * encoding of `item` (passed separately so callers that already hold bytes
-    * — e.g. Spark's UTF8String — avoid re-encoding).
+  def add(item: String, bytes: Array[Byte], increment: Long): Boolean =
+    addBytes(bytes, 0, bytes.length, increment, item)
+
+  // --- allocation-free hot path -------------------------------------------
+  // The reference's zero-allocation property (README benchmark: 0 B/op) is
+  // preserved on the JVM by (a) hashing byte slices without materializing
+  // Strings, (b) encoding integer tokens into a reusable scratch buffer, and
+  // (c) materializing the heap's String key only when an update actually
+  // reaches the heap — with a small fingerprint-keyed memo so hot items
+  // materialize once.
+
+  private val scratch                          = new Array[Byte](12)
+  private var cacheFp: Array[Int]              = _
+  private var cacheBytes: Array[Array[Byte]]   = _
+  private var cacheStr: Array[String]          = _
+  private final val CacheSlots                 = 4096
+
+  /** Count one occurrence of an int token (canonical item = base-10 string,
+    * SURVEY.md §1.4) without allocating.
     */
-  def add(item: String, bytes: Array[Byte], increment: Long): Boolean = {
-    val fingerprint = Hashing.fingerprint(bytes)
+  def addToken(token: Int, increment: Long): Boolean = {
+    val len = encodeInt(token)
+    addBytes(scratch, 0, len, increment, null)
+  }
+
+  /** Write the decimal representation of v into `scratch`; returns length. */
+  private def encodeInt(v: Int): Int = {
+    var x = v
+    if (x == Int.MinValue) { // cannot negate; rare, fall back
+      val s = java.lang.Integer.toString(x); val b = s.getBytes(StandardCharsets.UTF_8)
+      System.arraycopy(b, 0, scratch, 0, b.length); return b.length
+    }
+    val neg = x < 0
+    if (neg) x = -x
+    // write digits backwards into the tail, then shift to the front
+    var p = scratch.length
+    do { p -= 1; scratch(p) = ('0' + x % 10).toByte; x /= 10 } while (x != 0)
+    if (neg) { p -= 1; scratch(p) = '-' }
+    val len = scratch.length - p
+    System.arraycopy(scratch, p, scratch, 0, len)
+    len
+  }
+
+  private def materialize(fp: Int, bytes: Array[Byte], off: Int, len: Int,
+                          item: String): String = {
+    if (item != null) return item
+    if (cacheFp == null) {
+      cacheFp = new Array[Int](CacheSlots)
+      cacheBytes = new Array[Array[Byte]](CacheSlots)
+      cacheStr = new Array[String](CacheSlots)
+    }
+    val slot = fp & (CacheSlots - 1)
+    val cb   = cacheBytes(slot)
+    if (cacheFp(slot) == fp && cb != null &&
+        java.util.Arrays.equals(cb, 0, cb.length, bytes, off, off + len))
+      return cacheStr(slot)
+    val s = new String(bytes, off, len, StandardCharsets.UTF_8)
+    cacheFp(slot) = fp
+    cacheBytes(slot) = java.util.Arrays.copyOfRange(bytes, off, off + len)
+    cacheStr(slot) = s
+    s
+  }
+
+  /** Core update (reference: sketch.go:118-170) over a UTF-8 byte slice.
+    * `item` may be null; the String key is materialized lazily, only when the
+    * update actually reaches the heap.
+    */
+  def addBytes(bytes: Array[Byte], off: Int, len: Int, increment: Long,
+               item: String): Boolean = {
+    val fingerprint = Hashing.fingerprint(bytes, off, len)
     var maxCount    = 0L
     var row         = 0
     while (row < depth) {
-      val idx   = Hashing.bucketIndex(bytes, row, width)
+      val idx   = Hashing.bucketIndex(bytes, off, len, row, width)
       val count = counts(idx)
       if (count == 0L) { // empty bucket: claim it
         fingerprints(idx) = fingerprint
@@ -116,7 +182,10 @@ final class Sketch(val cfg: SketchConfig) extends Serializable {
       }
       row += 1
     }
-    heap.update(item, fingerprint, maxCount)
+    // admission precheck mirrors heap.update's reject rule (heap/heap.go:137)
+    // so rejected updates never materialize a String
+    if (maxCount < heap.minCount && heap.isFull) false
+    else heap.update(materialize(fingerprint, bytes, off, len, item), fingerprint, maxCount)
   }
 
   /** decay^count via LUT, with the reference's closed-form extension for

@@ -79,6 +79,9 @@ object Hashing {
   @inline def fingerprint(bytes: Array[Byte]): Int =
     XxHash32.hash(bytes, FingerprintSeed)
 
+  @inline def fingerprint(bytes: Array[Byte], off: Int, len: Int): Int =
+    XxHash32.hash(bytes, off, len, FingerprintSeed)
+
   @inline def fingerprint(item: String): Int =
     XxHash32.hashString(item, FingerprintSeed)
 
@@ -88,6 +91,11 @@ object Hashing {
     */
   @inline def bucketIndex(bytes: Array[Byte], row: Int, width: Int): Int = {
     val h = XxHash32.hash(bytes, row)
+    row * width + ((h & 0xffffffffL) % width).toInt
+  }
+
+  @inline def bucketIndex(bytes: Array[Byte], off: Int, len: Int, row: Int, width: Int): Int = {
+    val h = XxHash32.hash(bytes, off, len, row)
     row * width + ((h & 0xffffffffL) % width).toInt
   }
 

@@ -25,6 +25,13 @@ object TopK {
   def sketchUdafFor(cfg: SketchConfig): UserDefinedFunction =
     udaf(new TopKSketchBytesAggregator(cfg))
 
+  /** The aggregation Column on the native (InternalRow-level) expression:
+    * partials track k×oversample candidates, emitK = cfg.k rows come out.
+    */
+  def topkColumn(item: Column, weight: Column, cfg: SketchConfig, oversample: Int): Column =
+    graft.plans.TopKAggregates.itemsTopK(
+      item, weight, cfg.copy(k = cfg.k * math.max(1, oversample)), cfg.k)
+
   /** Global top-K of `item` by total `weight`.
     * Output: (item string, count long, fingerprint long), ordered by
     * (count desc, item asc) — the reference's SortedSlice order
@@ -33,7 +40,19 @@ object TopK {
   def aggregate(df: DataFrame, item: Column, weight: Column, cfg: SketchConfig,
                 oversample: Int = 4): DataFrame =
     df.select(item.cast("string").as("item"), weight.cast("long").as("weight"))
-      .agg(udafFor(cfg, oversample)(col("item"), col("weight")).as("topk"))
+      .agg(topkColumn(col("item"), col("weight"), cfg, oversample).as("topk"))
+      .select(explode(col("topk")).as("e"))
+      .select(col("e.item"), col("e.count"), col("e.fingerprint"))
+      .orderBy(col("count").desc, col("item").asc)
+
+  /** Token top-K straight off the `array<int>` column — no explode stage;
+    * the HK loop runs inside the aggregate over each sequence row (the
+    * 100 TB-shape plan: scan -> per-partition sketch -> merge).
+    */
+  def tokensArray(df: DataFrame, tokens: Column, cfg: SketchConfig,
+                  oversample: Int = 4): DataFrame =
+    df.agg(graft.plans.TopKAggregates.tokensTopK(
+        tokens, cfg.copy(k = cfg.k * math.max(1, oversample)), cfg.k).as("topk"))
       .select(explode(col("topk")).as("e"))
       .select(col("e.item"), col("e.count"), col("e.fingerprint"))
       .orderBy(col("count").desc, col("item").asc)
@@ -48,7 +67,7 @@ object TopK {
     val groupNames = keyed.columns.dropRight(2).map(col)
     keyed
       .groupBy(groupNames: _*)
-      .agg(udafFor(cfg, oversample)(col("item"), col("weight")).as("topk"))
+      .agg(topkColumn(col("item"), col("weight"), cfg, oversample).as("topk"))
       .select((groupNames :+ posexplode(col("topk")).as(Seq("rank0", "e"))): _*)
       .select((groupNames :+ (col("rank0") + 1).cast("long").as("rank") :+ col("e.item")
         :+ col("e.count") :+ col("e.fingerprint")): _*)

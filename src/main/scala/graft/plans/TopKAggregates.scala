@@ -1,0 +1,149 @@
+package graft.plans
+
+import graft.core.{Sketch, SketchCodec, SketchConfig}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst aggregate expressions for the HeavyKeeper sketch — the
+  * engine's hot path. Unlike the `functions.udaf` route, these consume
+  * `InternalRow`s directly: no encoder deserialization, no per-row case
+  * classes, no String materialization off the cold path. The buffer is the
+  * mutable Sketch object (ObjectHashAggregateExec keeps it as an object;
+  * SketchCodec bytes only cross the shuffle).
+  */
+object TopKResult {
+  val entrySchema: StructType = StructType(Seq(
+    StructField("item", StringType, nullable = false),
+    StructField("count", LongType, nullable = false),
+    StructField("fingerprint", LongType, nullable = false)))
+
+  val dataType: DataType = ArrayType(entrySchema, containsNull = false)
+
+  def toArrayData(buffer: Sketch, emitK: Int): ArrayData = {
+    val top = buffer.sortedSlice
+    val n   = math.min(emitK, top.length)
+    val out = new Array[Any](n)
+    var i   = 0
+    while (i < n) {
+      val e = top(i)
+      out(i) = new GenericInternalRow(Array[Any](
+        UTF8String.fromString(e.item), e.count, e.fingerprint.toLong & 0xffffffffL))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Top-K over an `array<int>` token column — one aggregate call per sequence
+  * row, the core HK loop runs over the array in place (the north-star shape:
+  * no explode, no per-token row machinery). Weight 1 per token occurrence.
+  */
+case class TokensTopKAgg(
+    child: Expression,
+    cfg: SketchConfig,
+    emitK: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends TypedImperativeAggregate[Sketch] with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): Sketch = new Sketch(cfg)
+
+  override def update(buffer: Sketch, input: InternalRow): Sketch = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      val n   = arr.numElements()
+      var i   = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) buffer.addToken(arr.getInt(i), 1L)
+        i += 1
+      }
+    }
+    buffer
+  }
+
+  override def merge(buffer: Sketch, other: Sketch): Sketch = buffer.merge(other)
+
+  override def eval(buffer: Sketch): Any = TopKResult.toArrayData(buffer, emitK)
+
+  override def serialize(buffer: Sketch): Array[Byte] = SketchCodec.encode(buffer)
+  override def deserialize(bytes: Array[Byte]): Sketch = SketchCodec.decode(bytes)
+
+  override def dataType: DataType = TopKResult.dataType
+  override def nullable: Boolean  = false
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TokensTopKAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TokensTopKAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): TokensTopKAgg =
+    copy(child = newChild)
+}
+
+/** Top-K over generic (item string, weight long) updates — InternalRow-native
+  * replacement for the udaf path. Hashes the UTF8String's bytes; the heap's
+  * String key materializes only on admitted updates (memoized per buffer).
+  */
+case class ItemsTopKAgg(
+    left: Expression,
+    right: Expression,
+    cfg: SketchConfig,
+    emitK: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends TypedImperativeAggregate[Sketch] with BinaryLike[Expression] {
+
+  override def createAggregationBuffer(): Sketch = new Sketch(cfg)
+
+  override def update(buffer: Sketch, input: InternalRow): Sketch = {
+    val item = left.eval(input)
+    if (item != null) {
+      val w = right.eval(input) match {
+        case null       => 0L
+        case l: Long    => l
+        case i: Integer => i.toLong
+        case other      => other.toString.toLong
+      }
+      val b = item.asInstanceOf[UTF8String].getBytes
+      buffer.addBytes(b, 0, b.length, w, null)
+    }
+    buffer
+  }
+
+  override def merge(buffer: Sketch, other: Sketch): Sketch = buffer.merge(other)
+
+  override def eval(buffer: Sketch): Any = TopKResult.toArrayData(buffer, emitK)
+
+  override def serialize(buffer: Sketch): Array[Byte] = SketchCodec.encode(buffer)
+  override def deserialize(bytes: Array[Byte]): Sketch = SketchCodec.decode(bytes)
+
+  override def dataType: DataType = TopKResult.dataType
+  override def nullable: Boolean  = false
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ItemsTopKAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ItemsTopKAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ItemsTopKAgg =
+    copy(left = newLeft, right = newRight)
+}
+
+object TopKAggregates {
+  /** `agg(tokensTopK($"tokens", cfg, k))` — array-native token top-K. */
+  def tokensTopK(tokens: Column, cfg: SketchConfig, emitK: Int): Column =
+    Bridge.column(
+      TokensTopKAgg(Bridge.expression(tokens), cfg, emitK).toAggregateExpression())
+
+  /** `agg(itemsTopK($"item", $"weight", cfg, k))` — generic item top-K. */
+  def itemsTopK(item: Column, weight: Column, cfg: SketchConfig, emitK: Int): Column =
+    Bridge.column(
+      ItemsTopKAgg(Bridge.expression(item), Bridge.expression(weight),
+        cfg, emitK).toAggregateExpression())
+}

@@ -54,6 +54,12 @@ object Profile {
       TopK.aggregate(updates, col("item"), col("weight"), graft.Bench.cfgLight).collect())
     t("udaf topk again")(
       TopK.aggregate(updates, col("item"), col("weight"), graft.Bench.cfgLight).collect())
+    t("native array topk k10 w1024 d3")(
+      TopK.tokensArray(raw, $"tokens", graft.Bench.cfgLight).collect())
+    t("native array topk again")(
+      TopK.tokensArray(raw, $"tokens", graft.Bench.cfgLight).collect())
+    t("native array topk heavy")(
+      TopK.tokensArray(raw, $"tokens", graft.Bench.cfgHeavy).collect())
     TopK.aggregate(updates, col("item"), col("weight"), graft.Bench.cfgLight).explain("formatted")
     spark.stop()
   }

@@ -1,0 +1,123 @@
+package graft.spark
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TrainingOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill nearby"
+
+  test("exact dedup: min-id survivor per distinct text") {
+    val df = Seq(
+      (1L, "aaa bbb"), (2L, "ccc ddd"), (3L, "aaa bbb"), (4L, "eee"), (5L, "aaa bbb")
+    ).toDF("doc_id", "text")
+    val survivors = Dedup.exactSurvivors(df, $"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(survivors == Set((1L, 3L), (2L, 1L), (4L, 1L)))
+    val groups = Dedup.exactDupGroups(df, $"doc_id", $"text").collect()
+    assert(groups.length == 1)
+    assert(groups.head.getAs[scala.collection.Seq[Long]]("doc_ids").toSeq == Seq(1L, 3L, 5L))
+  }
+
+  test("minhash LSH finds planted near-duplicates and skips distinct docs") {
+    val nearDup = base.replace("lazy", "sleepy") // small edit
+    val docs = Seq(
+      (1L, base), (2L, nearDup),
+      (3L, "completely different content about spark query engines and distributed joins over parquet"),
+      (4L, "yet another unrelated document mentioning tokens embeddings and heavy keeper sketches at scale")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(docs, $"doc_id", $"text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L)))
+    // estimate close to exact
+    val withExact = Dedup.exactJaccard(Seq((1L, 2L)).toDF("a", "b"), docs, 5)
+      .head().getDouble(2)
+    val est = Dedup.minhashLshPairs(docs, $"doc_id", $"text", threshold = 0.5)
+      .head().getDouble(2)
+    assert(math.abs(withExact - est) < 0.2, s"exact=$withExact est=$est")
+  }
+
+  test("simhash: near-identical texts pair with small hamming, unrelated don't") {
+    // simhash needs enough tokens that a one-token edit can't flip many bit
+    // accumulators — use a long doc (the realistic regime for simhash dedup)
+    val longDoc = (base + " ") * 20
+    val docs = Seq(
+      (1L, longDoc), (2L, longDoc.replaceFirst("warm", "cold")),
+      (3L, ("spark catalyst optimizer rewrites logical plans into physical plans with codegen stages " * 20))
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, $"doc_id", $"text", maxDistance = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L)))
+  }
+
+  test("brute-force cosine top-K with exact ordering") {
+    val corpus = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0f, 1f)), (4L, Array(-1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val queries = corpus.where($"vec_id" === 1L)
+    val out = Similarity.cosineTopK(corpus, $"vec_id", $"embedding",
+        queries, $"vec_id", $"embedding", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 1L, 2L), (1L, 2L, 3L)))
+  }
+
+  test("LSH cosine recall vs brute force (statistical, seeded)") {
+    val rng = new java.util.Random(11)
+    val corpus = (0L until 300L).map { i =>
+      (i, Array.fill(16)(rng.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.where($"vec_id" < 5)
+    val exact = Similarity.cosineTopK(corpus, $"vec_id", $"embedding",
+        queries, $"vec_id", $"embedding", 10)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshCosineTopK(corpus, $"vec_id", $"embedding",
+        queries, $"vec_id", $"embedding", 10, nBits = 64, bands = 16)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall")
+  }
+
+  test("embedding near-dup pairs via hyperplane LSH") {
+    val v    = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
+    val vEps = v.clone(); vEps(0) = v(0) + 0.01f
+    val far  = Array.tabulate(16)(i => math.cos(3 * i + 2).toFloat)
+    val df = Seq((1L, v), (2L, vEps), (3L, far)).toDF("vec_id", "embedding")
+    val pairs = Similarity.nearDupPairs(df, $"vec_id", $"embedding", threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L)))
+  }
+
+  test("language id: stopword argmax with deterministic tie order") {
+    val df = Seq(
+      (1L, "the cat and the dog of a house"),
+      (2L, "der hund und die katze ist ein tier"),
+      (3L, "le chat et les chiens est un animal"),
+      (4L, "zzz qqq www")
+    ).toDF("id", "text")
+    val out = df.select($"id", TextAnalysis.languageId($"text").as("lang"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "und"))
+  }
+
+  test("quality stats: integer metrics + gate") {
+    val df  = Seq((1L, "a b c d e f"), (2L, "x x x x x x x x x x")).toDF("id", "text")
+    val out = TextAnalysis.withQuality(df, $"text")
+      .select("id", "n_tokens", "n_distinct_tokens", "quality_ok")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.toSet == Set((1L, 6L, 6L, true), (2L, 10L, 1L, false)))
+  }
+
+  test("rolling length fingerprint is deterministic and order-sensitive") {
+    val df = Seq((1L, "ab cde f"), (2L, "f cde ab"), (3L, "ab cde f")).toDF("id", "text")
+    val fp = df.select($"id", TextAnalysis.lengthFingerprint($"text").as("fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fp(1L) == fp(3L))
+    assert(fp(1L) != fp(2L)) // order matters in a rolling hash
+    // closed form: ((0*31+3)*31+4)*31+2 = 2911... for lengths 2,3,1 -> (len+1)
+    assert(fp(1L) == ((3L * 31 + 4) * 31 + 2) % 2147483647L)
+  }
+}
