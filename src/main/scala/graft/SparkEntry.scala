@@ -134,7 +134,34 @@ object SparkEntry {
     "embedding_near_dups" -> ((s, dir) =>
       graft.operators.Similarity.nearDupPairsBrute(
         s.read.parquet(s"$dir/embeddings.parquet"), col("vec_id"), col("embedding"),
-        threshold = 0.42))
+        threshold = 0.42)),
+
+    // --- multimodal binary columns (decode step stubbed; plumbing real) ---
+
+    "multimodal_stats" -> ((s, dir) => {
+      val media = graft.operators.Multimodal.syntheticMediaTable(
+        documents(s, dir), col("doc_id"), col("text"))
+      graft.operators.Multimodal.mediaStats(media)
+        .select("doc_id", "payload_len", "byte_checksum")
+    }),
+
+    "multimodal_frames" -> ((s, dir) => {
+      val media = graft.operators.Multimodal.syntheticMediaTable(
+        documents(s, dir), col("doc_id"), col("text"))
+      graft.operators.Multimodal.sampleFrames(media, nFrames = 8)
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          length(col("frame_bytes")).cast("long").as("frame_len"))
+    }),
+
+    // membership surface: Query(item) as a semi-join against the top-K
+    // (reference: sketch.go:172-175)
+    "topk_query_membership" -> ((s, dir) => {
+      val topk = TopK.aggregate(events(s, dir), col("event_type"), lit(1L),
+        SketchConfig.withDefaults(k = 3, width = 1024, depth = 3))
+      events(s, dir).select(col("event_type").as("item")).distinct()
+        .join(topk.select("item"), Seq("item"), "left_semi")
+        .orderBy("item")
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -279,6 +306,33 @@ object SparkEntry {
          FROM embeddings a, embeddings b
          WHERE a.vec_id < b.vec_id
            AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                      CAST(b.embedding AS DOUBLE[])) >= 0.42"""
+                                      CAST(b.embedding AS DOUBLE[])) >= 0.42""",
+
+    "multimodal_stats" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                len(text)::BIGINT AS payload_len,
+                list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    [CAST(ord(substr(text, i, 1)) AS BIGINT) FOR i IN range(1, len(text) + 1)]),
+                  (a, b) -> (a + b) % 2147483647) AS byte_checksum
+         FROM documents""",
+
+    "multimodal_frames" ->
+      """WITH m AS (
+           SELECT CAST(doc_id AS VARCHAR) AS doc_id, len(text) AS plen,
+                  greatest(1, len(text) // 8) AS fsize
+           FROM documents WHERE len(text) > 0)
+         SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+                CAST(least(f * fsize + fsize, plen) - f * fsize AS BIGINT) AS frame_len
+         FROM m, range(0, 8) t(f)
+         WHERE f < least(8, plen)""",
+
+    "topk_query_membership" ->
+      """WITH topk AS (
+           SELECT event_type AS item FROM events
+           GROUP BY 1 ORDER BY count(*) DESC, item LIMIT 3)
+         SELECT DISTINCT e.event_type AS item FROM events e
+         WHERE e.event_type IN (SELECT item FROM topk)
+         ORDER BY item"""
   )
 }

@@ -1,0 +1,140 @@
+package graft.operators
+
+import graft.core.XxHash32
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column operators: treat image/audio/video payloads as opaque
+  * `binary` columns plus typed metadata, with decode / feature-extraction /
+  * resize / frame-sampling as per-batch transforms.
+  *
+  * The Spark-side plumbing — schemas, partition-parallel batch processing,
+  * deterministic outputs — is real and tested. The *codec* step is a
+  * clearly-marked deterministic STUB (`fakeDecode`): this container has no
+  * image/audio libraries, so the stub derives a fake "decoded" representation
+  * from the payload bytes (stable across runs/executors). Swapping in a real
+  * codec is a one-function change; every schema and operator contract stays.
+  */
+object Multimodal {
+
+  /** Typed metadata carried beside the opaque payload. */
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("media_type", StringType, nullable = false), // image|audio|video
+    StructField("format", StringType, nullable = false),     // e.g. jpeg/wav/mp4
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true)
+  ))
+
+  /** The media table contract: (doc_id string, payload binary, meta struct). */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("doc_id", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = false),
+    StructField("meta", mediaMetaSchema, nullable = false)
+  ))
+
+  /** Derive a deterministic media table from any (id, text) table — the
+    * sandbox stand-in for real blobs: payload = UTF-8 bytes, metadata derived
+    * from deterministic hashes. Lets every downstream operator be exercised
+    * end-to-end without external data.
+    */
+  def syntheticMediaTable(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(
+      id.cast("string").as("doc_id"),
+      text.cast("binary").as("payload"),
+      struct(
+        when(pmod(xxhash64(text), lit(3)) === 0, "image")
+          .when(pmod(xxhash64(text), lit(3)) === 1, "audio")
+          .otherwise("video").as("media_type"),
+        lit("fake").as("format"),
+        (pmod(xxhash64(text, lit(1)), lit(512)) + 16).cast("int").as("width"),
+        (pmod(xxhash64(text, lit(2)), lit(512)) + 16).cast("int").as("height"),
+        (pmod(xxhash64(text, lit(3)), lit(60000)) + 1000).as("duration_ms")
+      ).as("meta"))
+
+  /** STUB codec: a real deployment replaces this with an actual image/audio
+    * decode (e.g. via JNI codecs or columnar Arrow handoff). Deterministic:
+    * "pixels" are a seeded-hash stream over the payload. Marked stub per the
+    * sandbox contract (no media libraries in this container).
+    */
+  private[operators] def fakeDecode(payload: Array[Byte], n: Int): Array[Float] = {
+    val out = new Array[Float](n)
+    var i   = 0
+    while (i < n) {
+      val h = XxHash32.hash(payload, i + 7)
+      out(i) = ((h & 0xffffffffL).toDouble / 4294967295.0).toFloat
+      i += 1
+    }
+    out
+  }
+
+  /** Feature extraction: payload -> fixed-size float vector (deterministic;
+    * decode step stubbed). Runs partition-parallel, one batch per task.
+    */
+  def extractFeatures(dim: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((payload: Array[Byte]) => if (payload == null) null else fakeDecode(payload, dim))
+
+  /** "Resize": decode (stub) then downsample the decoded stream to
+    * (w × h) values by strided mean pooling — the batch shape and
+    * column contract of a real resize.
+    */
+  def resize(w: Int, h: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (payload: Array[Byte]) =>
+      if (payload == null) null
+      else {
+        val full   = fakeDecode(payload, math.max(payload.length, w * h))
+        val out    = new Array[Float](w * h)
+        val stride = math.max(1, full.length / (w * h))
+        var i      = 0
+        while (i < w * h) {
+          var s = 0.0f
+          var j = 0
+          while (j < stride) { s += full(math.min(i * stride + j, full.length - 1)); j += 1 }
+          out(i) = s / stride
+          i += 1
+        }
+        out
+      }
+    }
+
+  /** Frame sampling for "video" payloads: split the payload into nFrames
+    * deterministic byte chunks (the batch/offset arithmetic of real frame
+    * extraction), emit one row per sampled frame.
+    */
+  def sampleFrames(df: DataFrame, nFrames: Int): DataFrame = {
+    val frameUdf = udf { (payload: Array[Byte]) =>
+      if (payload == null || payload.isEmpty) Array.empty[Array[Byte]]
+      else {
+        val size = math.max(1, payload.length / nFrames)
+        (0 until math.min(nFrames, payload.length)).map { f =>
+          val from = f * size
+          java.util.Arrays.copyOfRange(payload, from, math.min(from + size, payload.length))
+        }.toArray
+      }
+    }
+    df.select(col("doc_id"), col("meta"), posexplode(frameUdf(col("payload")))
+        .as(Seq("frame_idx", "frame_bytes")))
+  }
+
+  /** Per-media statistics usable against a SQL oracle: payload length and a
+    * simple byte checksum (sum of unsigned bytes mod 2^31-1) — both exactly
+    * computable in DuckDB for differential verification.
+    */
+  def mediaStats(df: DataFrame): DataFrame = {
+    val checksum = udf { (payload: Array[Byte]) =>
+      if (payload == null) 0L
+      else {
+        var acc = 0L
+        var i   = 0
+        while (i < payload.length) { acc = (acc + (payload(i) & 0xff)) % 2147483647L; i += 1 }
+        acc
+      }
+    }
+    df.select(
+      col("doc_id"),
+      length(col("payload")).cast("long").as("payload_len"),
+      checksum(col("payload")).as("byte_checksum"),
+      col("meta.media_type").as("media_type"))
+  }
+}
