@@ -72,5 +72,21 @@ object SqlFunctions {
       require(args.length == 2, "usage: xxh32(str, seed)")
       graft.plans.XxHash32Expr(args.head, args(1))
     }, "built-in")
+
+    // scalar lookups over serialized sketch blobs (reference: sketch.go:90-111,172-175)
+    spark.udf.register("topk_count", (bytes: Array[Byte], item: String) =>
+      if (bytes == null || item == null) 0L
+      else graft.core.SketchCodec.decode(bytes).count(item))
+    spark.udf.register("topk_query", (bytes: Array[Byte], item: String) =>
+      bytes != null && item != null && graft.core.SketchCodec.decode(bytes).query(item))
+    // sketch blob builder for CTE-style pipelines:
+    //   WITH sk AS (SELECT topk_sketch(item, w, k, width, depth) b FROM t)
+    //   SELECT topk_count(b, 'x') FROM sk
+    registry.createOrReplaceTempFunction("topk_sketch", { args =>
+      require(args.length >= 3 && args.length <= 6,
+        "usage: topk_sketch(item, weight, k[, width, depth[, decay]])")
+      graft.plans.SketchBytesAgg(args.head, args(1), cfgFrom(args, 2))
+        .toAggregateExpression()
+    }, "built-in")
   }
 }

@@ -135,6 +135,50 @@ case class ItemsTopKAgg(
     copy(left = newLeft, right = newRight)
 }
 
+/** Variant of ItemsTopKAgg that emits the serialized sketch blob instead of
+  * rows — the SQL-facing `topk_sketch(...)` builder for sketch-algebra
+  * pipelines (store per-slice sketches, merge/query later).
+  */
+case class SketchBytesAgg(
+    left: Expression,
+    right: Expression,
+    cfg: SketchConfig,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends TypedImperativeAggregate[Sketch] with BinaryLike[Expression] {
+
+  override def createAggregationBuffer(): Sketch = new Sketch(cfg)
+
+  override def update(buffer: Sketch, input: InternalRow): Sketch = {
+    val item = left.eval(input)
+    if (item != null) {
+      val w = right.eval(input) match {
+        case null    => 0L
+        case l: Long => l
+        case i: Integer => i.toLong
+        case other   => other.toString.toLong
+      }
+      val b = item.asInstanceOf[UTF8String].getBytes
+      buffer.addBytes(b, 0, b.length, w, null)
+    }
+    buffer
+  }
+
+  override def merge(buffer: Sketch, other: Sketch): Sketch = buffer.merge(other)
+  override def eval(buffer: Sketch): Any                    = SketchCodec.encode(buffer)
+  override def serialize(buffer: Sketch): Array[Byte]       = SketchCodec.encode(buffer)
+  override def deserialize(bytes: Array[Byte]): Sketch      = SketchCodec.decode(bytes)
+  override def dataType: DataType                           = BinaryType
+  override def nullable: Boolean                            = false
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SketchBytesAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SketchBytesAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SketchBytesAgg =
+    copy(left = newLeft, right = newRight)
+}
+
 object TopKAggregates {
   /** `agg(tokensTopK($"tokens", cfg, k))` — array-native token top-K. */
   def tokensTopK(tokens: Column, cfg: SketchConfig, emitK: Int): Column =

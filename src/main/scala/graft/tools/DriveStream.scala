@@ -61,6 +61,10 @@ object DriveStream {
     println("[drive] after resume:")
     spark.read.parquet(out).orderBy("tick", "rank")
       .collect().foreach(r => println(s"[drive]   $r"))
+
+    println("[drive] per-partition lineage (checkpoint offset log):")
+    graft.streaming.Lineage.report(ckpt).linesIterator
+      .foreach(l => println(s"[drive]   $l"))
     spark.stop()
   }
 }

@@ -69,4 +69,16 @@ class MultimodalSqlSpec extends AnyFunSuite {
     val h = spark.sql("SELECT xxh32('X', 4848280) AS h").head().getLong(0)
     assert(h == (graft.core.Hashing.fingerprint("X").toLong & 0xffffffffL))
   }
+
+  test("SQL sketch blobs: topk_sketch + topk_count/topk_query round-trip in SQL") {
+    graft.functions.SqlFunctions.register(spark)
+    Seq(("a", 5L), ("b", 9L), ("c", 1L)).toDF("item", "w").createOrReplaceTempView("ups2")
+    val row = spark.sql("""
+      WITH sk AS (SELECT topk_sketch(item, w, 2, 256, 3) AS b FROM ups2)
+      SELECT topk_count(b, 'b') AS cb, topk_query(b, 'b') AS qb,
+             topk_query(b, 'c') AS qc FROM sk""").head()
+    assert(row.getLong(0) == 9L)
+    assert(row.getBoolean(1))
+    assert(!row.getBoolean(2)) // c evicted from k=2 top set
+  }
 }

