@@ -82,6 +82,16 @@ object SqlFunctions {
     // sketch blob builder for CTE-style pipelines:
     //   WITH sk AS (SELECT topk_sketch(item, w, k, width, depth) b FROM t)
     //   SELECT topk_count(b, 'x') FROM sk
+    registry.createOrReplaceTempFunction("topk_merge", { args =>
+      require(args.length == 1, "usage: topk_merge(sketch_blob)")
+      graft.plans.MergeSketchBlobsAgg(args.head).toAggregateExpression()
+    }, "built-in")
+
+    registry.createOrReplaceTempFunction("topk_rows", { args =>
+      require(args.length == 2, "usage: topk_rows(sketch_blob, k)")
+      graft.plans.SketchRowsExpr(args.head, args(1))
+    }, "built-in")
+
     registry.createOrReplaceTempFunction("topk_sketch", { args =>
       require(args.length >= 3 && args.length <= 6,
         "usage: topk_sketch(item, weight, k[, width, depth[, decay]])")

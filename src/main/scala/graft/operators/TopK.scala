@@ -73,6 +73,35 @@ object TopK {
         :+ col("e.count") :+ col("e.fingerprint")): _*)
   }
 
+  /** Per-group top-K with EXPLICIT skew handling: two-level salted
+    * aggregation. Level 1 shuffles on (group, salt) — a hot group's updates
+    * spread over `saltFanout` reducers, each building a partial sketch over a
+    * disjoint item subset (salt = hash(item), so the level-2 union adds
+    * counts only for identical items — no cross-item fingerprint conflicts).
+    * Level 2 shuffles `saltFanout` fixed-size blobs per group and unions
+    * them. Use when group cardinality is low relative to data volume (the
+    * regime where plain aggregateBy's map-side combine is not enough).
+    */
+  def aggregateBySalted(df: DataFrame, groupCols: Seq[Column], item: Column, weight: Column,
+                        cfg: SketchConfig, saltFanout: Int = 16, oversample: Int = 4): DataFrame = {
+    import graft.plans.TopKAggregates
+    val bufCfg = cfg.copy(k = cfg.k * math.max(1, oversample))
+    val keyed = df.select((groupCols :+ item.cast("string").as("item")
+      :+ weight.cast("long").as("weight")): _*)
+    val groupNames = keyed.columns.dropRight(2).map(col)
+    val salted = keyed.withColumn("_salt", pmod(xxhash64(col("item")), lit(saltFanout)))
+    val level1 = salted
+      .groupBy((groupNames :+ col("_salt")): _*)
+      .agg(TopKAggregates.sketchBytes(col("item"), col("weight"), bufCfg).as("blob"))
+    level1
+      .groupBy(groupNames: _*)
+      .agg(TopKAggregates.mergeBlobs(col("blob")).as("merged"))
+      .select((groupNames :+ posexplode(TopKAggregates.sketchRows(col("merged"), lit(cfg.k)))
+        .as(Seq("rank0", "e"))): _*)
+      .select((groupNames :+ (col("rank0") + 1).cast("long").as("rank") :+ col("e.item")
+        :+ col("e.count") :+ col("e.fingerprint")): _*)
+  }
+
   /** `Count(item)` over a serialized sketch blob (reference: sketch.go:90-111)
     * as a scalar UDF: `topkCount(sketchCol, itemCol)`.
     */

@@ -1,0 +1,92 @@
+package graft.plans
+
+import graft.core.{Sketch, SketchCodec}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Mutable holder so the merge aggregate can adopt the geometry of the first
+  * blob it sees (the aggregate itself is geometry-agnostic).
+  */
+final class MergeBuf(var sketch: Sketch) extends Serializable
+
+/** `topk_merge(blob)` — unions serialized sketch blobs (the TOPK.MERGE the
+  * reference lacks) into one blob. Geometry is taken from the first blob;
+  * mixing geometries is an error (same contract as the core merge).
+  */
+case class MergeSketchBlobsAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends TypedImperativeAggregate[MergeBuf] with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): MergeBuf = new MergeBuf(null)
+
+  override def update(buf: MergeBuf, input: InternalRow): MergeBuf = {
+    val v = child.eval(input)
+    if (v != null) {
+      val decoded = SketchCodec.decode(v.asInstanceOf[Array[Byte]])
+      if (buf.sketch == null) buf.sketch = decoded else buf.sketch.merge(decoded)
+    }
+    buf
+  }
+
+  override def merge(a: MergeBuf, b: MergeBuf): MergeBuf = {
+    if (a.sketch == null) a.sketch = b.sketch
+    else if (b.sketch != null) a.sketch.merge(b.sketch)
+    a
+  }
+
+  override def eval(buf: MergeBuf): Any =
+    if (buf.sketch == null) null else SketchCodec.encode(buf.sketch)
+
+  override def serialize(buf: MergeBuf): Array[Byte] =
+    if (buf.sketch == null) Array.emptyByteArray else SketchCodec.encode(buf.sketch)
+
+  override def deserialize(bytes: Array[Byte]): MergeBuf =
+    if (bytes.isEmpty) new MergeBuf(null) else new MergeBuf(SketchCodec.decode(bytes))
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean  = true
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MergeSketchBlobsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MergeSketchBlobsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): MergeSketchBlobsAgg =
+    copy(child = newChild)
+}
+
+/** `topk_rows(blob, k)` — scalar: decode a sketch blob into its top-k rows
+  * (item, count, fingerprint), SortedSlice order. Pair with explode().
+  */
+case class SketchRowsExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = TopKResult.dataType
+  override def nullable: Boolean  = true
+
+  override protected def nullSafeEval(blob: Any, k: Any): Any = {
+    val sk  = SketchCodec.decode(blob.asInstanceOf[Array[Byte]])
+    val kk  = k.asInstanceOf[Int]
+    val top = sk.sortedSlice
+    val n   = math.min(kk, top.length)
+    val out = new Array[Any](n)
+    var i   = 0
+    while (i < n) {
+      val e = top(i)
+      out(i) = new GenericInternalRow(Array[Any](
+        UTF8String.fromString(e.item), e.count, e.fingerprint.toLong & 0xffffffffL))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SketchRowsExpr =
+    copy(left = newLeft, right = newRight)
+}

@@ -190,4 +190,18 @@ object TopKAggregates {
     Bridge.column(
       ItemsTopKAgg(Bridge.expression(item), Bridge.expression(weight),
         cfg, emitK).toAggregateExpression())
+
+  /** `agg(sketchBytes($"item", $"weight", cfg))` — emit the sketch blob. */
+  def sketchBytes(item: Column, weight: Column, cfg: SketchConfig): Column =
+    Bridge.column(
+      SketchBytesAgg(Bridge.expression(item), Bridge.expression(weight), cfg)
+        .toAggregateExpression())
+
+  /** `agg(mergeBlobs($"blob"))` — union sketch blobs into one blob. */
+  def mergeBlobs(blob: Column): Column =
+    Bridge.column(MergeSketchBlobsAgg(Bridge.expression(blob)).toAggregateExpression())
+
+  /** `select(sketchRows($"blob", k))` — decode a blob to its top-k rows. */
+  def sketchRows(blob: Column, k: Column): Column =
+    Bridge.column(SketchRowsExpr(Bridge.expression(blob), Bridge.expression(k)))
 }

@@ -106,9 +106,18 @@ object TopKStreams {
     val st = state.getOption.map(SlidingStreamCodec.decode)
       .getOrElse(SlidingStreamState.fresh(cfg, key))
 
-    // buffer incoming updates as (tick, item, weight)
-    rows.foreach { case (_, t, item, weight) =>
-      st.pending += ((Math.floorDiv(t.getTime, tickMillis), item, weight))
+    // Merge incoming updates into the pending buffer summed per (tick, item)
+    // — the reference's canonical protocol (one Add(item, total) per tick,
+    // sliding/sketch_test.go:176-296). Keeps the buffered state and its
+    // per-batch re-encode O(distinct items x buffered ticks), not O(stream).
+    if (rows.nonEmpty) {
+      val agg = new java.util.HashMap[(Long, String), java.lang.Long]()
+      st.pending.foreach { case (t, i, w) => agg.merge((t, i), w, (a, b) => a + b) }
+      rows.foreach { case (_, ts, item, weight) =>
+        agg.merge((Math.floorDiv(ts.getTime, tickMillis), item), weight, (a, b) => a + b)
+      }
+      st.pending.clear()
+      agg.forEach((k, v) => st.pending += ((k._1, k._2, v)))
     }
 
     // a tick t is complete iff watermark >= (t+1)*tickMillis

@@ -94,6 +94,31 @@ class TopKAggregatorSpec extends AnyFunSuite {
     assert(!checked.getBoolean(4))
   }
 
+  test("salted two-level aggregation equals plain per-group top-K") {
+    val rows = (0 until 4000).map { i =>
+      (if (i % 10 == 0) "hot" else s"g${i % 3}", s"it${i % 50}", (i % 5 + 1).toLong)
+    }.toDF("grp", "item", "weight")
+    val cfg = SketchConfig.withDefaults(5, width = 1024, depth = 3)
+    val plain = TopK.aggregateBy(rows, Seq(col("grp")), col("item"), col("weight"), cfg)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    val salted = TopK.aggregateBySalted(rows, Seq(col("grp")), col("item"), col("weight"),
+        cfg, saltFanout = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    assert(salted == plain)
+  }
+
+  test("SQL topk_merge + topk_rows: blob algebra end-to-end") {
+    graft.functions.SqlFunctions.register(spark)
+    Seq(("a", "x", 5L), ("a", "y", 3L), ("b", "x", 2L), ("b", "z", 9L))
+      .toDF("slice", "item", "w").createOrReplaceTempView("sliced")
+    val r = spark.sql("""
+      WITH per AS (SELECT slice, topk_sketch(item, w, 3, 256, 3) AS b FROM sliced GROUP BY slice),
+      merged AS (SELECT topk_merge(b) AS mb FROM per)
+      SELECT e.item, e.count FROM (SELECT explode(topk_rows(mb, 3)) AS e FROM merged)""")
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    assert(r.toSeq == Seq(("z", 9L), ("x", 7L), ("y", 3L)))
+  }
+
   test("codec round-trip preserves behavior") {
     val s = new graft.core.Sketch(SketchConfig.withDefaults(5, width = 128, depth = 3))
     Seq("a" -> 9L, "b" -> 4L, "c" -> 2L).foreach { case (i, c) => s.add(i, c) }
