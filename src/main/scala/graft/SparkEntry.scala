@@ -153,6 +153,16 @@ object SparkEntry {
           length(col("frame_bytes")).cast("long").as("frame_len"))
     }),
 
+    // session windows: per-user activity sessions (1h inactivity gap),
+    // top event types per session
+    "topk_sessions" -> ((s, dir) =>
+      graft.operators.SessionTopK.aggregate(
+          events(s, dir), col("user_id").cast("long"), col("ts"), "1 hour",
+          col("event_type"), lit(1L),
+          SketchConfig.withDefaults(k = 2, width = 1024, depth = 3))
+        .select(col("key").as("user_id"), col("session_start"), col("session_end"),
+          col("rank"), col("item"), col("count"))),
+
     // membership surface: Query(item) as a semi-join against the top-K
     // (reference: sketch.go:172-175)
     "topk_query_membership" -> ((s, dir) => {
@@ -326,6 +336,38 @@ object SparkEntry {
                 CAST(least(f * fsize + fsize, plen) - f * fsize AS BIGINT) AS frame_len
          FROM m, range(0, 8) t(f)
          WHERE f < least(8, plen)""",
+
+    "topk_sessions" ->
+      """WITH o AS (
+           SELECT user_id, ts, event_type,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 1 HOUR
+                       THEN 1 ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (
+           SELECT user_id, ts, event_type,
+                  sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess
+           FROM o),
+         g AS (
+           SELECT user_id, sess, ts, event_type,
+                  min(ts) OVER (PARTITION BY user_id, sess) AS session_start,
+                  max(ts) OVER (PARTITION BY user_id, sess)
+                    + INTERVAL 1 HOUR AS session_end
+           FROM s),
+         c AS (
+           SELECT user_id, sess, session_start, session_end,
+                  event_type AS item, count(*) AS count
+           FROM g GROUP BY user_id, sess, session_start, session_end, event_type),
+         r AS (
+           SELECT user_id, session_start, session_end, item, count,
+                  row_number() OVER (PARTITION BY user_id, sess
+                                     ORDER BY count DESC, item) AS rank
+           FROM c)
+         SELECT user_id, session_start, session_end, rank, item, count
+         FROM r WHERE rank <= 2
+         ORDER BY user_id, session_start, rank""",
 
     "topk_query_membership" ->
       """WITH topk AS (
