@@ -159,7 +159,9 @@ object SparkEntry {
       graft.operators.SessionTopK.aggregate(
           events(s, dir), col("user_id").cast("long"), col("ts"), "1 hour",
           col("event_type"), lit(1L),
-          SketchConfig.withDefaults(k = 2, width = 1024, depth = 3))
+          // sessions are small groups: right-size the per-session sketch
+          // (5 distinct event types; width 256 stays collision-free)
+          SketchConfig.withDefaults(k = 2, width = 256, depth = 3))
         .select(col("key").as("user_id"), col("session_start"), col("session_end"),
           col("rank"), col("item"), col("count"))),
 

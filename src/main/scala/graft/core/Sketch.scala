@@ -36,8 +36,15 @@ object SketchConfig {
     )
   }
 
+  // LUTs are pure functions of (decay, size); memoize so many-group
+  // aggregations (sessions, fine windows) don't rebuild one per buffer
+  private val lutCache =
+    new java.util.concurrent.ConcurrentHashMap[(Float, Int), Array[Float]]()
+
   def decayLut(decay: Float, lutSize: Int): Array[Float] =
-    Array.tabulate(lutSize)(i => math.pow(decay.toDouble, i.toDouble).toFloat)
+    lutCache.computeIfAbsent((decay, lutSize), { case (d, n) =>
+      Array.tabulate(n)(i => math.pow(d.toDouble, i.toDouble).toFloat)
+    })
 }
 
 /** Plain (whole-stream / tumbling) HeavyKeeper top-K sketch.
