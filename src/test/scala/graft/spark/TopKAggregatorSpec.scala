@@ -119,6 +119,33 @@ class TopKAggregatorSpec extends AnyFunSuite {
     assert(r.toSeq == Seq(("z", 9L), ("x", 7L), ("y", 3L)))
   }
 
+  test("batch sliding per-tick ring reproduces the reference tick trace (window sums)") {
+    // the golden schedule (sliding/sketch_test.go:167-296); collision-free,
+    // so the per-tick sketch-ring union must produce the exact window sums
+    val updates = Seq(
+      (0L, "X", 3L), (0L, "Y", 2L), (0L, "Z", 1L),
+      (1L, "X", 2L), (1L, "Y", 2L), (1L, "Z", 1L),
+      (2L, "Y", 1L), (2L, "Z", 3L),
+      (3L, "Y", 1L), (3L, "Z", 3L),
+      (4L, "sentinel", 0L), // tick present, no real adds
+      (5L, "X", 1L)
+    ).toDF("tick", "item", "weight")
+    val out = graft.operators.SlidingTopK.perTick(
+        updates, col("tick"), col("item"), col("weight"), windowTicks = 2,
+        cfg = SketchConfig.withDefaults(8, width = 256, depth = 3), k = 2)
+      .where(col("item") =!= "sentinel")
+      .orderBy("tick", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (0L, 1L, "X", 3L), (0L, 2L, "Y", 2L),
+      (1L, 1L, "X", 5L), (1L, 2L, "Y", 4L),
+      (2L, 1L, "Z", 4L), (2L, 2L, "Y", 3L),
+      (3L, 1L, "Z", 6L), (3L, 2L, "Y", 2L),
+      (4L, 1L, "Z", 3L), (4L, 2L, "Y", 1L),
+      (5L, 1L, "X", 1L)
+    ))
+  }
+
   test("codec round-trip preserves behavior") {
     val s = new graft.core.Sketch(SketchConfig.withDefaults(5, width = 128, depth = 3))
     Seq("a" -> 9L, "b" -> 4L, "c" -> 2L).foreach { case (i, c) => s.add(i, c) }
