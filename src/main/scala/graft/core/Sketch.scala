@@ -148,6 +148,44 @@ final class Sketch(val cfg: SketchConfig) extends Serializable {
     s
   }
 
+  /** One bucket's HeavyKeeper update (reference: sketch.go:129-166):
+    * claim-if-empty / increment-own / probabilistic-decay-on-collision.
+    * Returns the resulting count if this bucket now belongs to the item,
+    * else 0 (for the max-over-rows fold).
+    */
+  @inline private def updateBucket(idx: Int, fingerprint: Int, increment: Long): Long = {
+    val count = counts(idx)
+    if (count == 0L) { // empty bucket: claim it
+      fingerprints(idx) = fingerprint
+      counts(idx) = increment
+      increment
+    } else if (fingerprints(idx) == fingerprint) { // own bucket
+      val c = count + increment
+      counts(idx) = c
+      c
+    } else { // collision: probabilistic decay (sketch.go:141-165)
+      var c                  = count
+      var incrementRemaining = increment
+      var taken              = 0L
+      var break              = false
+      while (incrementRemaining > 0 && !break) {
+        val decay = decayAt(c)
+        if (rng.nextFloat() < decay) {
+          c -= 1
+          if (c == 0L) {
+            fingerprints(idx) = fingerprint
+            c = incrementRemaining
+            taken = c
+            break = true
+          }
+        }
+        if (!break) incrementRemaining -= 1
+      }
+      counts(idx) = c
+      taken
+    }
+  }
+
   /** Core update (reference: sketch.go:118-170) over a UTF-8 byte slice.
     * `item` may be null; the String key is materialized lazily, only when the
     * update actually reaches the heap.
@@ -158,41 +196,40 @@ final class Sketch(val cfg: SketchConfig) extends Serializable {
     var maxCount    = 0L
     var row         = 0
     while (row < depth) {
-      val idx   = Hashing.bucketIndex(bytes, off, len, row, width)
-      val count = counts(idx)
-      if (count == 0L) { // empty bucket: claim it
-        fingerprints(idx) = fingerprint
-        counts(idx) = increment
-        if (increment > maxCount) maxCount = increment
-      } else if (fingerprints(idx) == fingerprint) { // own bucket
-        val c = count + increment
-        counts(idx) = c
-        if (c > maxCount) maxCount = c
-      } else { // collision: probabilistic decay (sketch.go:141-165)
-        var c                  = count
-        var incrementRemaining = increment
-        var break              = false
-        while (incrementRemaining > 0 && !break) {
-          val decay = decayAt(c)
-          if (rng.nextFloat() < decay) {
-            c -= 1
-            if (c == 0L) {
-              fingerprints(idx) = fingerprint
-              c = incrementRemaining
-              if (c > maxCount) maxCount = c
-              break = true
-            }
-          }
-          if (!break) incrementRemaining -= 1
-        }
-        counts(idx) = c
-      }
+      val idx = Hashing.bucketIndex(bytes, off, len, row, width)
+      val c   = updateBucket(idx, fingerprint, increment)
+      if (c > maxCount) maxCount = c
       row += 1
     }
     // admission precheck mirrors heap.update's reject rule (heap/heap.go:137)
     // so rejected updates never materialize a String
     if (maxCount < heap.minCount && heap.isFull) false
     else heap.update(materialize(fingerprint, bytes, off, len, item), fingerprint, maxCount)
+  }
+
+  /** Same update hashing the item in place from any memory base (Spark
+    * UTF8String payloads: `getBaseObject/getBaseOffset/numBytes`) — no
+    * per-row byte copy; bytes are copied out only when an update is admitted
+    * to the heap.
+    */
+  def addUnsafe(base: AnyRef, offset: Long, len: Int, increment: Long): Boolean = {
+    val fingerprint = XxHash32.hashUnsafe(base, offset, len, Hashing.FingerprintSeed)
+    var maxCount    = 0L
+    var row         = 0
+    while (row < depth) {
+      val h   = XxHash32.hashUnsafe(base, offset, len, row)
+      val idx = row * width + ((h & 0xffffffffL) % width).toInt
+      val c   = updateBucket(idx, fingerprint, increment)
+      if (c > maxCount) maxCount = c
+      row += 1
+    }
+    if (maxCount < heap.minCount && heap.isFull) false
+    else {
+      val bytes = new Array[Byte](len)
+      org.apache.spark.unsafe.Platform.copyMemory(
+        base, offset, bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len)
+      heap.update(materialize(fingerprint, bytes, 0, len, null), fingerprint, maxCount)
+    }
   }
 
   /** decay^count via LUT, with the reference's closed-form extension for

@@ -68,6 +68,50 @@ object XxHash32 {
 
   def hashString(s: String, seed: Int): Int =
     hash(s.getBytes(StandardCharsets.UTF_8), seed)
+
+  /** Off-heap / any-base variant (Spark `Platform` unaligned reads): hashes
+    * UTF8String payloads in place, no per-row byte-array copy. Same result
+    * as `hash` for the same bytes (little-endian reads on both paths).
+    */
+  def hashUnsafe(base: AnyRef, offset: Long, len: Int, seed: Int): Int = {
+    import org.apache.spark.unsafe.Platform
+    val end = offset + len
+    var i   = offset
+    var h: Int = 0
+    if (len >= 16) {
+      val limit = end - 16
+      var v1 = seed + P1 + P2
+      var v2 = seed + P2
+      var v3 = seed
+      var v4 = seed - P1
+      while (i <= limit) {
+        v1 = Integer.rotateLeft(v1 + Platform.getInt(base, i) * P2, 13) * P1
+        v2 = Integer.rotateLeft(v2 + Platform.getInt(base, i + 4) * P2, 13) * P1
+        v3 = Integer.rotateLeft(v3 + Platform.getInt(base, i + 8) * P2, 13) * P1
+        v4 = Integer.rotateLeft(v4 + Platform.getInt(base, i + 12) * P2, 13) * P1
+        i += 16
+      }
+      h = Integer.rotateLeft(v1, 1) + Integer.rotateLeft(v2, 7) +
+        Integer.rotateLeft(v3, 12) + Integer.rotateLeft(v4, 18)
+    } else {
+      h = seed + P5
+    }
+    h += len
+    while (i + 4 <= end) {
+      h = Integer.rotateLeft(h + Platform.getInt(base, i) * P3, 17) * P4
+      i += 4
+    }
+    while (i < end) {
+      h = Integer.rotateLeft(h + (Platform.getByte(base, i) & 0xff) * P5, 11) * P1
+      i += 1
+    }
+    h ^= h >>> 15
+    h *= P2
+    h ^= h >>> 13
+    h *= P3
+    h ^= h >>> 16
+    h
+  }
 }
 
 /** Hash placement identical to the reference (hash.go:5-16). */

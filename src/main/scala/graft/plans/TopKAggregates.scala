@@ -111,8 +111,8 @@ case class ItemsTopKAgg(
         case i: Integer => i.toLong
         case other      => other.toString.toLong
       }
-      val b = item.asInstanceOf[UTF8String].getBytes
-      buffer.addBytes(b, 0, b.length, w, null)
+      val u = item.asInstanceOf[UTF8String]
+      buffer.addUnsafe(u.getBaseObject, u.getBaseOffset, u.numBytes, w)
     }
     buffer
   }
@@ -158,8 +158,8 @@ case class SketchBytesAgg(
         case i: Integer => i.toLong
         case other   => other.toString.toLong
       }
-      val b = item.asInstanceOf[UTF8String].getBytes
-      buffer.addBytes(b, 0, b.length, w, null)
+      val u = item.asInstanceOf[UTF8String]
+      buffer.addUnsafe(u.getBaseObject, u.getBaseOffset, u.numBytes, w)
     }
     buffer
   }
