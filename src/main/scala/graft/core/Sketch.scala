@@ -13,7 +13,14 @@ final case class SketchConfig(
     decay: Float = 0.9f,
     lutSize: Int = 256,
     seed: Long = 0x5eed_70c4L
-) extends Serializable
+) extends Serializable {
+  // the Go reference panics on K=0 (heap/heap.go:162 index out of range);
+  // we fail fast with a message instead
+  require(k > 0, s"k must be positive, got $k")
+  require(width > 0 && depth > 0, s"invalid geometry ${width}x$depth")
+  require(decay > 0f && decay <= 1f, s"decay must be in (0,1], got $decay")
+  require(lutSize > 1, s"lutSize must be > 1, got $lutSize")
+}
 
 object SketchConfig {
   def withDefaults(

@@ -16,7 +16,14 @@ final case class SlidingConfig(
     decay: Float = 0.9f,
     lutSize: Int = 256,
     seed: Long = 0x5eed_70c4L
-) extends Serializable
+) extends Serializable {
+  require(k > 0, s"k must be positive, got $k")
+  require(width > 0 && depth > 0, s"invalid geometry ${width}x$depth")
+  require(windowSize > 0, s"windowSize must be positive, got $windowSize")
+  require(bucketHistoryLength >= 1 && bucketHistoryLength <= windowSize,
+    s"bucketHistoryLength $bucketHistoryLength outside [1, $windowSize]")
+  require(decay > 0f && decay <= 1f, s"decay must be in (0,1], got $decay")
+}
 
 object SlidingConfig {
   def withDefaults(
