@@ -75,9 +75,14 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // --- driver-contract queries on the sf tables ---
+    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (_, sec) = time { try fn(spark, sfDir).collect() catch { case _: Throwable => Array.empty } }
-      name -> sec
+      val (ok, sec) = time {
+        try { fn(spark, sfDir).collect(); true }
+        catch { case e: Throwable => errors += s"$name: ${e.getClass.getSimpleName}"; false }
+      }
+      // a failed query must not masquerade as a fast success
+      name -> (if (ok) sec else -1.0)
     }
 
     // --- token throughput on the synthetic sequence table ---
@@ -95,10 +100,11 @@ object Bench {
       "tokens_exact_top100"       -> exactSec
     )
     val qs    = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val total = all.map(_._2).sum
+    val total = all.map(_._2).filter(_ >= 0).sum
     val tokPerSec = (nTokens / lightSec).toLong
+    val errJson = errors.map(e => "\"" + e + "\"").mkString("[", ",", "]")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","tokens":$nTokens%d,"tokens_per_sec":$tokPerSec%d,"cpus":$cpus%s}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","tokens":$nTokens%d,"tokens_per_sec":$tokPerSec%d,"cpus":$cpus%s,"errors":$errJson%s}""")
     spark.stop()
   }
 }

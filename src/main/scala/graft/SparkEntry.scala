@@ -131,10 +131,13 @@ object SparkEntry {
         emb.where(col("vec_id") < 5), col("vec_id"), col("embedding"), k = 10)
     }),
 
+    // exact all-pairs threshold join, block-matrix grid plan (the 0.42
+    // threshold sits below hyperplane-LSH's selectivity range, so the honest
+    // scale path is exact grid enumeration — see Similarity.nearDupPairsBlocked)
     "embedding_near_dups" -> ((s, dir) =>
-      graft.operators.Similarity.nearDupPairsBrute(
+      graft.operators.Similarity.nearDupPairsBlocked(
         s.read.parquet(s"$dir/embeddings.parquet"), col("vec_id"), col("embedding"),
-        threshold = 0.42)),
+        threshold = 0.42, nBlocks = 16)),
 
     // --- multimodal binary columns (decode step stubbed; plumbing real) ---
 
@@ -155,15 +158,19 @@ object SparkEntry {
 
     // session windows: per-user activity sessions (1h inactivity gap),
     // top event types per session
-    "topk_sessions" -> ((s, dir) =>
-      graft.operators.SessionTopK.aggregate(
-          events(s, dir), col("user_id").cast("long"), col("ts"), "1 hour",
+    "topk_sessions" -> ((s, dir) => {
+      // many small groups: keep the whole aggregation in object-hash mode
+      // (the 128-group default fallback serializes sketch buffers through a sort)
+      s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
+      graft.operators.SessionTopK.aggregateGap(
+          events(s, dir), col("user_id").cast("long"), col("ts"), gapSeconds = 3600L,
           col("event_type"), lit(1L),
           // sessions are small groups: right-size the per-session sketch
           // (5 distinct event types; width 256 stays collision-free)
           SketchConfig.withDefaults(k = 2, width = 256, depth = 3))
         .select(col("key").as("user_id"), col("session_start"), col("session_end"),
-          col("rank"), col("item"), col("count"))),
+          col("rank"), col("item"), col("count"))
+    }),
 
     // membership surface: Query(item) as a semi-join against the top-K
     // (reference: sketch.go:172-175)

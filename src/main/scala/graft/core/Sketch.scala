@@ -199,6 +199,11 @@ final class Sketch(val cfg: SketchConfig) extends Serializable {
     */
   def addBytes(bytes: Array[Byte], off: Int, len: Int, increment: Long,
                item: String): Boolean = {
+    // the reference's increment domain is uint32 (sketch.go:118); reject
+    // non-positive weights so a user-supplied weight column can't drive an
+    // owned bucket negative or claim an empty bucket with count <= 0 (which
+    // would break the count==0 empty-bucket sentinel and heap invariants)
+    if (increment <= 0L) return false
     val fingerprint = Hashing.fingerprint(bytes, off, len)
     var maxCount    = 0L
     var row         = 0
@@ -220,6 +225,7 @@ final class Sketch(val cfg: SketchConfig) extends Serializable {
     * to the heap.
     */
   def addUnsafe(base: AnyRef, offset: Long, len: Int, increment: Long): Boolean = {
+    if (increment <= 0L) return false // see addBytes: uint32 increment domain
     val fingerprint = XxHash32.hashUnsafe(base, offset, len, Hashing.FingerprintSeed)
     var maxCount    = 0L
     var row         = 0

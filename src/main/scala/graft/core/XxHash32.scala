@@ -73,6 +73,17 @@ object XxHash32 {
     * UTF8String payloads in place, no per-row byte-array copy. Same result
     * as `hash` for the same bytes (little-endian reads on both paths).
     */
+  // Platform.getInt reads in NATIVE byte order while `hash` reads explicit
+  // little-endian; byte-swap on big-endian JVMs so the two paths can never
+  // silently place the same bytes in different buckets.
+  private final val BigEndian =
+    java.nio.ByteOrder.nativeOrder() == java.nio.ByteOrder.BIG_ENDIAN
+
+  @inline private def readLEUnsafe(base: AnyRef, i: Long): Int = {
+    val v = org.apache.spark.unsafe.Platform.getInt(base, i)
+    if (BigEndian) Integer.reverseBytes(v) else v
+  }
+
   def hashUnsafe(base: AnyRef, offset: Long, len: Int, seed: Int): Int = {
     import org.apache.spark.unsafe.Platform
     val end = offset + len
@@ -85,10 +96,10 @@ object XxHash32 {
       var v3 = seed
       var v4 = seed - P1
       while (i <= limit) {
-        v1 = Integer.rotateLeft(v1 + Platform.getInt(base, i) * P2, 13) * P1
-        v2 = Integer.rotateLeft(v2 + Platform.getInt(base, i + 4) * P2, 13) * P1
-        v3 = Integer.rotateLeft(v3 + Platform.getInt(base, i + 8) * P2, 13) * P1
-        v4 = Integer.rotateLeft(v4 + Platform.getInt(base, i + 12) * P2, 13) * P1
+        v1 = Integer.rotateLeft(v1 + readLEUnsafe(base, i) * P2, 13) * P1
+        v2 = Integer.rotateLeft(v2 + readLEUnsafe(base, i + 4) * P2, 13) * P1
+        v3 = Integer.rotateLeft(v3 + readLEUnsafe(base, i + 8) * P2, 13) * P1
+        v4 = Integer.rotateLeft(v4 + readLEUnsafe(base, i + 12) * P2, 13) * P1
         i += 16
       }
       h = Integer.rotateLeft(v1, 1) + Integer.rotateLeft(v2, 7) +
@@ -98,7 +109,7 @@ object XxHash32 {
     }
     h += len
     while (i + 4 <= end) {
-      h = Integer.rotateLeft(h + Platform.getInt(base, i) * P3, 17) * P4
+      h = Integer.rotateLeft(h + readLEUnsafe(base, i) * P3, 17) * P4
       i += 4
     }
     while (i < end) {

@@ -4,7 +4,8 @@ import graft.core.SketchConfig
 import graft.plans.{ItemsTopKAgg, TokensTopKAgg}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
+import org.apache.spark.sql.types.{LongType, StringType}
 
 /** SQL surface: registers the engine's aggregates and scalar helpers into the
   * session's FunctionRegistry so plain `spark.sql` can use them:
@@ -64,7 +65,10 @@ object SqlFunctions {
       require(args.length >= 3 && args.length <= 6,
         "usage: topk_items(item, weight, k[, width, depth[, decay]])")
       val cfg = cfgFrom(args, 2)
-      ItemsTopKAgg(args.head, args(1), cfg.copy(k = cfg.k * Oversample), cfg.k)
+      // cast for SQL ergonomics (ints as items, int weights); the aggregate
+      // itself validates strictly via checkInputDataTypes
+      ItemsTopKAgg(Cast(args.head, StringType), Cast(args(1), LongType),
+          cfg.copy(k = cfg.k * Oversample), cfg.k)
         .toAggregateExpression()
     }, "built-in")
 
@@ -95,7 +99,8 @@ object SqlFunctions {
     registry.createOrReplaceTempFunction("topk_sketch", { args =>
       require(args.length >= 3 && args.length <= 6,
         "usage: topk_sketch(item, weight, k[, width, depth[, decay]])")
-      graft.plans.SketchBytesAgg(args.head, args(1), cfgFrom(args, 2))
+      graft.plans.SketchBytesAgg(Cast(args.head, StringType), Cast(args(1), LongType),
+          cfgFrom(args, 2))
         .toAggregateExpression()
     }, "built-in")
   }

@@ -118,15 +118,17 @@ object Dedup {
     val r = banded.select(col("band"), col("band_hash"),
       col("doc_id").as("b"), col("sig").as("sig_b"))
 
+    // compute the estimate and threshold-filter BEFORE dedup, so the distinct
+    // shuffles only (a, b, est_jaccard) — 24 bytes — instead of dragging two
+    // 128-slot signatures per candidate row through the exchange
     l.join(r, Seq("band", "band_hash"))
       .where(col("a") < col("b"))
-      .select(col("a"), col("b"), col("sig_a"), col("sig_b"))
-      .distinct()
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), m => m))
           .cast("double") / numHashes)
       .where(col("est_jaccard") >= threshold)
       .select(col("a"), col("b"), col("est_jaccard"))
+      .distinct()
   }
 
   /** Exact n-gram (character shingle) Jaccard for given candidate pairs —

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.core.SketchConfig
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Session-window top-K: one HeavyKeeper sketch per (key, activity session),
@@ -37,4 +38,55 @@ object SessionTopK {
       .select(col("key"), col("session_start"), col("session_end"),
         (col("rank0") + 1).cast("long").as("rank"),
         col("e.item"), col("e.count"), col("e.fingerprint"))
+
+  /** Batch-optimized session top-K via gap detection over a per-key
+    * event-time sort: `lag` marks session breaks (gap strictly greater than
+    * `gapSeconds`), a running sum numbers the sessions, and ONE hash
+    * aggregation on (key, session) builds the per-session sketches.
+    *
+    * Why this exists alongside `aggregate`: Spark's batch `session_window`
+    * runs the sort-heavy UpdatingSessions/MergingSessions machinery, which
+    * costs several seconds even on 100k rows. This path is two exchanges
+    * total — shuffle on key for the window sort, then the (key, session)
+    * aggregation reuses that partitioning (HashPartitioning(key) satisfies
+    * the ClusteredDistribution(key, session)), so the sketch aggregation adds
+    * NO extra shuffle. At 100 TB the per-key sort is the standard
+    * sessionization plan; skewed keys split via the salted variant upstream.
+    *
+    * Boundary convention matches SQL sessionization (and the driver oracle):
+    * an event exactly `gapSeconds` after its predecessor CONTINUES the
+    * session; `session_end = last_ts + gap`.
+    */
+  def aggregateGap(df: DataFrame, key: Column, ts: Column, gapSeconds: Long,
+                   item: Column, weight: Column, cfg: SketchConfig,
+                   oversample: Int = 4): DataFrame = {
+    val byKey = Window.partitionBy(col("key")).orderBy(col("ts"))
+    val base = df.select(key.as("key"), ts.as("ts"),
+      item.cast("string").as("item"), weight.cast("long").as("weight"))
+    val sessions = base
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byKey))
+      .withColumn("brk",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr(s"INTERVAL $gapSeconds SECOND"), 1L)
+          .otherwise(0L))
+      .withColumn("sess", sum(col("brk")).over(
+        byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // adaptive buffer: sessions typically hold a handful of distinct items,
+    // so the exact-map phase avoids allocating + serializing a full sketch
+    // per tiny group (the dominant cost in the many-small-groups regime)
+    val bufCfg = cfg.copy(k = cfg.k * math.max(1, oversample))
+    val cutoff = math.max(64, bufCfg.k * 4)
+    sessions
+      .groupBy(col("key"), col("sess"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        (max(col("ts")) + expr(s"INTERVAL $gapSeconds SECOND")).as("session_end"),
+        graft.plans.AdaptiveTopKAgg.adaptive(
+          col("item"), col("weight"), bufCfg, cfg.k, cutoff).as("topk"))
+      .select(col("key"), col("session_start"), col("session_end"),
+        posexplode(col("topk")).as(Seq("rank0", "e")))
+      .select(col("key"), col("session_start"), col("session_end"),
+        (col("rank0") + 1).cast("long").as("rank"),
+        col("e.item"), col("e.count"), col("e.fingerprint"))
+  }
 }

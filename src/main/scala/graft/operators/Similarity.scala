@@ -1,43 +1,56 @@
 package graft.operators
 
+import graft.plans.VecDot
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`array<float>`).
   *
-  * Brute-force cosine top-K is the exactness baseline (broadcast the query
-  * set, score every row, per-query top-K — one scan, no shuffle of the corpus
-  * side). The LSH variant (random-hyperplane signatures + Hamming blocking +
-  * exact rerank) is the 100 TB path: candidates come from equality joins on
-  * band keys, so the corpus is never all-pairs joined.
+  * Three regimes, three plans:
+  *  - small query set vs big corpus → broadcast the queries, score every
+  *    corpus row once (`cosineTopK`), or LSH-block first (`lshCosineTopK`);
+  *  - all-pairs above a HIGH similarity threshold → hyperplane-LSH banding +
+  *    exact rerank (`nearDupPairs`) — candidates come from equality joins on
+  *    band keys, never an all-pairs comparison;
+  *  - all-pairs above a LOW threshold (near the angle where random-hyperplane
+  *    collision probability is uninformative, cos θ ≲ 0.6) → LSH banding is
+  *    mathematically non-selective, so the honest scale plan is the exact
+  *    block-matrix self-join (`nearDupPairsBlocked`): grid-partitioned
+  *    equality join, O(n·√cells) replication of fixed-size rows, never a
+  *    BroadcastNestedLoopJoin.
+  *
+  * All similarity arithmetic goes through the native `VecDot` kernel
+  * (codegen, left-to-right double accumulation) so results are deterministic
+  * and oracle-reproducible.
   */
 object Similarity {
 
   /** Cosine similarity of two float-array columns, computed in double with
     * left-to-right accumulation (deterministic, oracle-reproducible).
     */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
-    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
-    dot / (na * nb)
-  }
+  def cosine(a: Column, b: Column): Column =
+    VecDot(a, b) / (sqrt(VecDot(a, a)) * sqrt(VecDot(b, b)))
 
   /** Exact top-K neighbors for each query row (brute force).
     * @param corpus  (id long, vec array<float>)
     * @param queries (id long, vec array<float>) — small; broadcast
     * Output: (query_id, rank, neighbor_id, similarity) — self-matches excluded.
+    *
+    * Plan: the corpus never shuffles; each scan task scores its rows against
+    * the broadcast queries with precomputed norms (one dot per pair), and
+    * `WindowGroupLimit` caps the per-query sort.
     */
   def cosineTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
                  queries: DataFrame, queryId: Column, queryVec: Column,
                  k: Int): DataFrame = {
     val c = corpus.select(corpusId.cast("long").as("neighbor_id"), corpusVec.as("cvec"))
+      .withColumn("cn", sqrt(VecDot(col("cvec"), col("cvec"))))
     val q = queries.select(queryId.cast("long").as("query_id"), queryVec.as("qvec"))
+      .withColumn("qn", sqrt(VecDot(col("qvec"), col("qvec"))))
     val scored = c.crossJoin(broadcast(q))
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("similarity", cosine(col("cvec"), col("qvec")))
+      .withColumn("similarity", VecDot(col("cvec"), col("qvec")) / (col("cn") * col("qn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("similarity").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -77,43 +90,54 @@ object Similarity {
     }
 
   /** Approximate top-K: hyperplane-LSH blocking (band equality on signature
-    * quarters) + exact cosine rerank of the candidates. Recall vs brute force
-    * depends on nBits/bands; verified statistically in tests.
+    * slices) + exact cosine rerank of the candidates. Recall is a function of
+    * (nBits, bands) and the corpus similarity profile; the defaults (width-2
+    * bands) are tuned for recall ≈ 1 on moderate-similarity corpora —
+    * verified empirically against the exact oracle at the test SFs.
     */
   def lshCosineTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
                     queries: DataFrame, queryId: Column, queryVec: Column,
-                    k: Int, nBits: Int = 64, bands: Int = 8): DataFrame = {
-    require(64 % bands == 0, "bands must divide 64")
+                    k: Int, nBits: Int = 64, bands: Int = 32): DataFrame = {
+    require(nBits >= 1 && nBits <= 64, "nBits must be in [1, 64]")
+    require(nBits % bands == 0, "bands must divide nBits")
     val width = nBits / bands
-    val sigU  = hyperplaneSignature(nBits)
+    require(width < 64, "band width must be < 64 (mask arithmetic)")
+    val mask = (1L << width) - 1
+    val sigU = hyperplaneSignature(nBits)
     def banded(df: DataFrame, idName: String, vecName: String) =
       df.withColumn("sig", sigU(col(vecName)))
         .select(col(idName), col(vecName), posexplode(
           array((0 until bands).map(q =>
-            shiftright(col("sig"), q * width).bitwiseAND(lit((1L << width) - 1))): _*))
+            shiftright(col("sig"), q * width).bitwiseAND(lit(mask))): _*))
           .as(Seq("band", "block")))
 
     val c = banded(corpus.select(corpusId.cast("long").as("neighbor_id"), corpusVec.as("cvec")),
       "neighbor_id", "cvec")
+      .withColumn("cn", sqrt(VecDot(col("cvec"), col("cvec"))))
     val q = banded(queries.select(queryId.cast("long").as("query_id"), queryVec.as("qvec")),
       "query_id", "qvec")
+      .withColumn("qn", sqrt(VecDot(col("qvec"), col("qvec"))))
 
-    val candidates = c.join(broadcast(q), Seq("band", "block"))
+    // score per banded candidate, then dedup on the slim (ids, sim) row —
+    // never shuffles vectors through the distinct
+    val scored = c.join(broadcast(q), Seq("band", "block"))
       .where(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("qvec"), col("neighbor_id"), col("cvec"))
+      .withColumn("similarity", VecDot(col("cvec"), col("qvec")) / (col("cn") * col("qn")))
+      .select(col("query_id"), col("neighbor_id"), col("similarity"))
       .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("similarity").desc, col("neighbor_id").asc)
-    candidates
-      .withColumn("similarity", cosine(col("cvec"), col("qvec")))
+    scored
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), round(col("similarity"), 6).as("similarity"))
   }
 
-  /** Exact (all-pairs) embedding near-duplicate pairs — the oracle-matched
-    * variant; use `nearDupPairs` (LSH-blocked) at corpus scale.
+  /** Exact (all-pairs) embedding near-duplicate pairs via a nested-loop
+    * self-join — kept as the differential baseline for the blocked/LSH
+    * variants; do not use at scale (O(n²) pairs through a
+    * BroadcastNestedLoopJoin).
     */
   def nearDupPairsBrute(df: DataFrame, id: Column, vec: Column,
                         threshold: Double): DataFrame = {
@@ -125,25 +149,77 @@ object Similarity {
       .select(col("a"), col("b"), round(col("similarity"), 6).as("similarity"))
   }
 
+  /** EXACT all-pairs cosine threshold join as a block-matrix grid self-join —
+    * the scale path when the threshold is too low for LSH selectivity.
+    *
+    * Rows are hashed into `nBlocks` blocks; the unordered block-pair grid
+    * (bi <= bj, nBlocks·(nBlocks+1)/2 cells) is broadcast; each side
+    * replicates its rows to the grid cells it participates in (≈ nBlocks/2
+    * copies — the classic O(n·√P) block-matrix replication), and the pair
+    * enumeration is an EQUALITY join on the cell key: every task gets one
+    * dense cell, no nested-loop join, no skew (blocks are hash-uniform).
+    * Each unordered row pair lands in exactly one cell; output ids are
+    * canonicalized (a < b). Dot products run on the native VecDot kernel
+    * with precomputed norms. Result is exact — recall 1 by construction.
+    *
+    * At 100 TB: pick nBlocks so one cell's pair count is a task-sized unit
+    * (cells = partitions → nBlocks ≈ √(2·partitions)); replication cost is
+    * n·nBlocks/2 fixed-size rows, and compute is the irreducible n²/2 dots.
+    */
+  def nearDupPairsBlocked(df: DataFrame, id: Column, vec: Column,
+                          threshold: Double, nBlocks: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.select(id.cast("long").as("id"), vec.as("v"))
+      .withColumn("nrm", sqrt(VecDot(col("v"), col("v"))))
+      .withColumn("blk", pmod(xxhash64(col("id")), lit(nBlocks)).cast("int"))
+    val grid = (for { i <- 0 until nBlocks; j <- i until nBlocks } yield (i, j))
+      .toDF("bi", "bj")
+    val lrep = v.join(broadcast(grid), col("blk") === col("bi"))
+      .select(col("bi"), col("bj"), col("id").as("a"), col("v").as("va"), col("nrm").as("na"))
+    val rrep = v.join(broadcast(grid), col("blk") === col("bj"))
+      .select(col("bi").as("bi2"), col("bj").as("bj2"),
+        col("id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
+    lrep.join(rrep, col("bi") === col("bi2") && col("bj") === col("bj2"))
+      // diagonal cells see both orientations: keep one; off-diagonal cells
+      // see each unordered pair once (orientation is block-determined)
+      .where(col("bi") =!= col("bj") || col("a") < col("b"))
+      .where(col("a") =!= col("b"))
+      .withColumn("similarity", VecDot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .where(col("similarity") >= threshold)
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"),
+        round(col("similarity"), 6).as("similarity"))
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold via LSH blocking +
-    * exact verify (the embedding-space analogue of MinHash dedup).
+    * exact verify (the embedding-space analogue of MinHash dedup). Use when
+    * the threshold is high enough for hyperplane collisions to discriminate
+    * (cos θ ≳ 0.6 for the defaults); below that use `nearDupPairsBlocked`.
     */
   def nearDupPairs(df: DataFrame, id: Column, vec: Column,
-                   threshold: Double = 0.95, bands: Int = 8): DataFrame = {
-    val width = 64 / bands
+                   threshold: Double = 0.95, nBits: Int = 64, bands: Int = 16): DataFrame = {
+    require(nBits >= 1 && nBits <= 64, "nBits must be in [1, 64]")
+    require(nBits % bands == 0, "bands must divide nBits")
+    val width = nBits / bands
+    require(width < 64, "band width must be < 64 (mask arithmetic)")
+    val mask = (1L << width) - 1
     val withSig = df.select(id.cast("long").as("doc_id"), vec.as("v"))
-      .withColumn("sig", hyperplaneSignature(64)(col("v")))
-    val blocked = withSig.select(col("doc_id"), col("v"), posexplode(
+      .withColumn("nrm", sqrt(VecDot(col("v"), col("v"))))
+      .withColumn("sig", hyperplaneSignature(nBits)(col("v")))
+    val blocked = withSig.select(col("doc_id"), col("v"), col("nrm"), posexplode(
       array((0 until bands).map(q =>
-        shiftright(col("sig"), q * width).bitwiseAND(lit((1L << width) - 1))): _*))
+        shiftright(col("sig"), q * width).bitwiseAND(lit(mask))): _*))
       .as(Seq("band", "block")))
-    val l = blocked.select(col("band"), col("block"), col("doc_id").as("a"), col("v").as("va"))
-    val r = blocked.select(col("band"), col("block"), col("doc_id").as("b"), col("v").as("vb"))
+    val l = blocked.select(col("band"), col("block"), col("doc_id").as("a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val r = blocked.select(col("band"), col("block"), col("doc_id").as("b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    // score per banded candidate, then dedup slim rows (see lshCosineTopK)
     l.join(r, Seq("band", "block"))
       .where(col("a") < col("b"))
-      .select(col("a"), col("b"), col("va"), col("vb")).distinct()
-      .withColumn("similarity", cosine(col("va"), col("vb")))
+      .withColumn("similarity", VecDot(col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("similarity") >= threshold)
       .select(col("a"), col("b"), round(col("similarity"), 6).as("similarity"))
+      .distinct()
   }
 }

@@ -54,14 +54,17 @@ object SlidingTopK {
       .groupBy(col("tick"))
       .agg(TopK.sketchUdafFor(cfg)(col("item"), col("weight")).as("sketch"))
 
-    // window range-join: output tick t <- source sketches of [t-N+1, t].
-    // Both sides are #ticks rows; broadcast the slim tick list.
-    val ticks  = perTickSketch.select(col("tick").as("out_tick"))
-    val window = ticks.join(
-      perTickSketch,
-      col("tick").between(col("out_tick") - (windowTicks - 1), col("out_tick")),
-      "inner"
-    )
+    // Each source tick s contributes to output ticks [s, s+N-1]: explode the
+    // contribution range (N-fold duplication of fixed-size blobs, LINEAR in
+    // #ticks) and equality-group on out_tick — no range join. A left-semi
+    // join against the broadcast tick list keeps only output ticks that are
+    // present in the input (range-join parity; also drops the trailing
+    // [max_tick+1, max_tick+N-1] phantom windows).
+    val window = perTickSketch
+      .select(explode(sequence(col("tick"), col("tick") + (windowTicks - 1)))
+        .as("out_tick"), col("sketch"))
+      .join(broadcast(perTickSketch.select(col("tick").as("out_tick"))),
+        Seq("out_tick"), "left_semi")
     val mergeUdaf = udaf(new MergeSketchesAggregator(cfg, k))
     window
       .groupBy(col("out_tick"))

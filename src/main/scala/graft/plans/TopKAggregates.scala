@@ -3,6 +3,7 @@ package graft.plans
 import graft.core.{Sketch, SketchCodec, SketchConfig}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
@@ -25,6 +26,31 @@ object TopKResult {
     StructField("fingerprint", LongType, nullable = false)))
 
   val dataType: DataType = ArrayType(entrySchema, containsNull = false)
+
+  /** Shared input-type validation: item must be a string, weight an integral
+    * (anything else would silently mis-read `InternalRow` slots — e.g.
+    * `getInt` on an `array<bigint>` reads 4 bytes of each 8-byte slot).
+    */
+  def checkItemWeight(item: Expression, weight: Expression, fn: String): TypeCheckResult = {
+    if (item.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$fn requires a STRING item, got ${item.dataType.catalogString}")
+    else if (!Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+               .contains(weight.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"$fn requires an integral weight, got ${weight.dataType.catalogString}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  /** Widen any integral InternalRow value to Long (no toString round-trip). */
+  @inline def weightAsLong(v: Any): Long = v match {
+    case null            => 0L
+    case l: java.lang.Long    => l
+    case i: java.lang.Integer => i.toLong
+    case s: java.lang.Short   => s.toLong
+    case b: java.lang.Byte    => b.toLong
+    case other           => other.toString.toLong
+  }
 
   def toArrayData(buffer: Sketch, emitK: Int): ArrayData = {
     val top = buffer.sortedSlice
@@ -52,6 +78,12 @@ case class TokensTopKAgg(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0
 ) extends TypedImperativeAggregate[Sketch] with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"topk_tokens requires ARRAY<INT> tokens, got ${other.catalogString}")
+  }
 
   override def createAggregationBuffer(): Sketch = new Sketch(cfg)
 
@@ -100,17 +132,15 @@ case class ItemsTopKAgg(
     inputAggBufferOffset: Int = 0
 ) extends TypedImperativeAggregate[Sketch] with BinaryLike[Expression] {
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    TopKResult.checkItemWeight(left, right, "topk_items")
+
   override def createAggregationBuffer(): Sketch = new Sketch(cfg)
 
   override def update(buffer: Sketch, input: InternalRow): Sketch = {
     val item = left.eval(input)
     if (item != null) {
-      val w = right.eval(input) match {
-        case null       => 0L
-        case l: Long    => l
-        case i: Integer => i.toLong
-        case other      => other.toString.toLong
-      }
+      val w = TopKResult.weightAsLong(right.eval(input))
       val u = item.asInstanceOf[UTF8String]
       buffer.addUnsafe(u.getBaseObject, u.getBaseOffset, u.numBytes, w)
     }
@@ -147,17 +177,15 @@ case class SketchBytesAgg(
     inputAggBufferOffset: Int = 0
 ) extends TypedImperativeAggregate[Sketch] with BinaryLike[Expression] {
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    TopKResult.checkItemWeight(left, right, "topk_sketch")
+
   override def createAggregationBuffer(): Sketch = new Sketch(cfg)
 
   override def update(buffer: Sketch, input: InternalRow): Sketch = {
     val item = left.eval(input)
     if (item != null) {
-      val w = right.eval(input) match {
-        case null    => 0L
-        case l: Long => l
-        case i: Integer => i.toLong
-        case other   => other.toString.toLong
-      }
+      val w = TopKResult.weightAsLong(right.eval(input))
       val u = item.asInstanceOf[UTF8String]
       buffer.addUnsafe(u.getBaseObject, u.getBaseOffset, u.numBytes, w)
     }
