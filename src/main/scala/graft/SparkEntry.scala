@@ -108,9 +108,11 @@ object SparkEntry {
         .select(col("a"), col("b"), col("jaccard"))
     }),
 
+    // md5-derived token hash so the exact Hamming predicate is recomputable
+    // by the external oracle (see Dedup.simhash64Md5)
     "dedup_simhash" -> ((s, dir) =>
       graft.operators.Dedup.simhashPairs(documents(s, dir), col("doc_id"), col("text"),
-        maxDistance = 3)),
+        maxDistance = 3, hashUdf = graft.operators.Dedup.simhash64Md5)),
 
     "text_language_id" -> ((s, dir) =>
       documents(s, dir).select(col("doc_id"),
@@ -169,6 +171,41 @@ object SparkEntry {
           // (5 distinct event types; width 256 stays collision-free)
           SketchConfig.withDefaults(k = 2, width = 256, depth = 3))
         .select(col("key").as("user_id"), col("session_start"), col("session_end"),
+          col("rank"), col("item"), col("count"))
+    }),
+
+    // Structured Streaming end-to-end: file source -> watermarked tumbling
+    // window -> sketch aggregate -> append sink, run to completion with
+    // Trigger.AvailableNow and returned as the final batch result. Windows
+    // finalize exactly-once as the watermark passes them (the no-data final
+    // batch flushes the last window); replays from the checkpoint would
+    // reproduce identical rows (covered by StreamResumeSpec).
+    "topk_stream_tumbling" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = events(s, dir).schema
+      // watermarks require TIMESTAMP (the testdata is NTZ; session tz is UTC
+      // so the cast is value-preserving — cast back for oracle parity below)
+      // the streaming file source monitors a DIRECTORY (as in production);
+      // the testdata table is a bare file, so expose it via a symlink in a
+      // temp source dir — no data copy
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_src")
+      java.nio.file.Files.createSymbolicLink(
+        srcDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val src = s.readStream.schema(schema).parquet(srcDir.toString)
+        .select(col("ts").cast("timestamp").as("ts"),
+          col("event_type").as("item"), lit(1L).as("weight"))
+      val out = graft.streaming.TopKStreams.tumbling(
+        src, windowDuration = "1 day", watermarkDelay = "0 seconds",
+        SketchConfig.withDefaults(k = 3, width = 1024, depth = 3))
+      val name = s"stream_tumbling_${System.nanoTime()}"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name)
+        .select(col("window.start").cast("timestamp_ntz").as("day"),
           col("rank"), col("item"), col("count"))
     }),
 
@@ -258,6 +295,28 @@ object SparkEntry {
          WHERE a.doc_id < b.doc_id
            AND len(list_intersect(a.s, b.s))::DOUBLE
                  / len(list_distinct(list_concat(a.s, b.s))) >= 0.8""",
+
+    "dedup_simhash" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  unnest(list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0)) AS tok
+           FROM documents),
+         h AS (SELECT doc_id, md5(tok) AS hx FROM toks),
+         bits AS (
+           SELECT doc_id, b,
+                  sum(CASE WHEN (CAST(('0x' || substr(hx, 16 - b // 4, 1)) AS INTEGER)
+                              >> (b % 4)) & 1 = 1
+                           THEN 1 ELSE -1 END) AS acc
+           FROM h CROSS JOIN range(0, 64) t(b)
+           GROUP BY 1, 2),
+         sig AS (SELECT doc_id, b, (acc > 0) AS bit FROM bits),
+         pairs AS (
+           SELECT x.doc_id AS a, y.doc_id AS b2,
+                  sum(CASE WHEN x.bit != y.bit THEN 1 ELSE 0 END) AS hamming
+           FROM sig x JOIN sig y ON x.b = y.b AND x.doc_id < y.doc_id
+           GROUP BY 1, 2)
+         SELECT a, b2 AS b, CAST(hamming AS BIGINT) AS hamming
+         FROM pairs WHERE hamming <= 3""",
 
     "text_language_id" ->
       """WITH t AS (
@@ -377,6 +436,22 @@ object SparkEntry {
          SELECT user_id, session_start, session_end, rank, item, count
          FROM r WHERE rank <= 2
          ORDER BY user_id, session_start, rank""",
+
+    // append-mode streams emit a window only once the watermark passes its
+    // end; the final day's window is still open when the input is exhausted,
+    // so the oracle covers exactly the FINALIZED windows
+    "topk_stream_tumbling" ->
+      """WITH c AS (
+           SELECT date_trunc('day', ts) AS day, event_type AS item, count(*) AS count
+           FROM events GROUP BY 1, 2),
+         r AS (
+           SELECT day, item, count,
+                  row_number() OVER (PARTITION BY day ORDER BY count DESC, item) AS rank
+           FROM c)
+         SELECT day, rank, item, count FROM r
+         WHERE rank <= 3
+           AND day < (SELECT date_trunc('day', max(ts)) FROM events)
+         ORDER BY day, rank""",
 
     "topk_query_membership" ->
       """WITH topk AS (

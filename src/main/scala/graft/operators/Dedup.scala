@@ -175,23 +175,75 @@ object Dedup {
       }
     }
 
+  /** 64-bit SimHash like [[simhash64]] but with an md5-derived token hash
+    * (big-endian parse of the digest's first 16 hex chars) — md5 is the one
+    * 64-bit-capable hash this engine and standard SQL engines both expose,
+    * so this variant is END-TO-END verifiable against an exact external
+    * oracle (the driver's DuckDB check recomputes the same signature from
+    * `md5(tok)` hex digits). Same signature semantics, different token hash.
+    */
+  val simhash64Md5: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (s: String) =>
+      if (s == null) 0L
+      else {
+        val md  = java.security.MessageDigest.getInstance("MD5")
+        val acc = new Array[Int](64)
+        s.split("\\s+").foreach { tok =>
+          if (tok.nonEmpty) {
+            md.reset()
+            val d = md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            // first 16 hex chars parsed big-endian == first 8 digest bytes
+            var h = 0L
+            var i = 0
+            while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+            var b = 0
+            while (b < 64) {
+              if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+              b += 1
+            }
+          }
+        }
+        var out = 0L
+        var b   = 0
+        while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+        out
+      }
+    }
+
   /** SimHash near-duplicate pairs with Hamming distance <= maxDistance,
-    * blocked on 16-bit quarters (any pair within distance <= 3 must agree on
-    * at least one of 4 quarters — pigeonhole), so no all-pairs join.
+    * blocked on `maxDistance + 1` disjoint bit ranges: a pair differing in at
+    * most `maxDistance` bits cannot touch every block (pigeonhole), so it
+    * must agree exactly on at least one block key — guaranteed recall 1 with
+    * NO all-pairs join, only equality joins on block keys.
+    * @param hashUdf signature function: [[simhash64]] (engine-native XXH32
+    *                token hash) or [[simhash64Md5]] (oracle-verifiable)
     */
   def simhashPairs(df: DataFrame, id: Column, text: Column,
-                   maxDistance: Int = 3): DataFrame = {
-    val hashed = df.select(id.cast("long").as("doc_id"), simhash64(text).as("sh"))
+                   maxDistance: Int = 3,
+                   hashUdf: org.apache.spark.sql.expressions.UserDefinedFunction = simhash64): DataFrame = {
+    require(maxDistance >= 0 && maxDistance < 32,
+      s"maxDistance must be in [0, 31] (need >= 2-bit blocks for selectivity), got $maxDistance")
+    val nBlocks = maxDistance + 1
+    // even-ish bit ranges: block q covers [q*64/n, (q+1)*64/n)
+    val bounds = (0 to nBlocks).map(i => i * 64 / nBlocks)
+    val blockCols = (0 until nBlocks).map { q =>
+      val start = bounds(q)
+      val width = bounds(q + 1) - start
+      if (width >= 64) col("sh")
+      else shiftright(col("sh"), start).bitwiseAND(lit((1L << width) - 1))
+    }
+    val hashed = df.select(id.cast("long").as("doc_id"), hashUdf(text).as("sh"))
     val blocked = hashed.select(col("doc_id"), col("sh"),
-      posexplode(array((0 to 3).map(q => shiftright(col("sh"), q * 16).bitwiseAND(lit(0xffffL))): _*))
-        .as(Seq("quarter", "block")))
-    val l = blocked.select(col("quarter"), col("block"), col("doc_id").as("a"), col("sh").as("sh_a"))
-    val r = blocked.select(col("quarter"), col("block"), col("doc_id").as("b"), col("sh").as("sh_b"))
-    l.join(r, Seq("quarter", "block"))
+      posexplode(array(blockCols: _*)).as(Seq("blk_idx", "block")))
+    val l = blocked.select(col("blk_idx"), col("block"), col("doc_id").as("a"), col("sh").as("sh_a"))
+    val r = blocked.select(col("blk_idx"), col("block"), col("doc_id").as("b"), col("sh").as("sh_b"))
+    // hamming-filter per banded candidate, then dedup the slim (a, b, hamming)
+    // rows — signatures never cross the distinct's exchange
+    l.join(r, Seq("blk_idx", "block"))
       .where(col("a") < col("b"))
-      .select(col("a"), col("b"), col("sh_a"), col("sh_b")).distinct()
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .where(col("hamming") <= maxDistance)
       .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
+      .distinct()
   }
 }
