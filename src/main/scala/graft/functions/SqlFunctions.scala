@@ -4,16 +4,27 @@ import graft.core.SketchConfig
 import graft.plans.{ItemsTopKAgg, TokensTopKAgg}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{LongType, StringType}
 
-/** SQL surface: registers the engine's aggregates and scalar helpers into the
-  * session's FunctionRegistry so plain `spark.sql` can use them:
+/** SQL surface: the engine's aggregates and scalar helpers as a single
+  * builder table, registered either per-session
+  * (`SqlFunctions.register(spark)`) or cluster-wide via
+  * `spark.sql.extensions=graft.GraftExtensions` — both consume the same
+  * builders, so the SQL surface cannot drift between the two paths.
   *
   * {{{
   *   SELECT topk_tokens(tokens, 10, 1024, 3) FROM seqs                 -- array<int>
   *   SELECT topk_items(item, weight, 10, 1024, 3) FROM updates         -- generic
+  *   SELECT topk_items_adaptive(item, weight, 2, 256, 3) FROM t GROUP BY k
+  *   SELECT explode(topk_sliding(tick, item, w, 7, 3, 1024, 3)) FROM t
   *   SELECT xxh32(text, 4848280) FROM docs                             -- seeded hash
+  *   -- sketch algebra over blobs:
+  *   WITH sk AS (SELECT topk_sketch(item, w, 10) b FROM t)
+  *   SELECT topk_count(b, 'x'), topk_query(b, 'x'), topk_rows(topk_merge(b), 10) FROM sk
+  *   -- session-window top-K composes from built-ins (no bespoke function):
+  *   SELECT user, session_window(ts, '1 hour'), topk_items(item, w, 3)
+  *   FROM events GROUP BY user, session_window(ts, '1 hour')
   * }}}
   *
   * Geometry arguments are literal ints: (k[, width, depth[, decay]]);
@@ -50,58 +61,98 @@ object SqlFunctions {
     */
   private val Oversample = 4
 
-  def register(spark: SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-
-    registry.createOrReplaceTempFunction("topk_tokens", { args =>
+  /** name -> (arity doc, expression builder) — the single SQL surface. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "topk_tokens" -> { args =>
       require(args.length >= 2 && args.length <= 5,
         "usage: topk_tokens(tokens_array, k[, width, depth[, decay]])")
       val cfg = cfgFrom(args, 1)
       TokensTopKAgg(args.head, cfg.copy(k = cfg.k * Oversample), cfg.k)
         .toAggregateExpression()
-    }, "built-in")
+    },
 
-    registry.createOrReplaceTempFunction("topk_items", { args =>
+    "topk_items" -> { args =>
       require(args.length >= 3 && args.length <= 6,
         "usage: topk_items(item, weight, k[, width, depth[, decay]])")
       val cfg = cfgFrom(args, 2)
       // cast for SQL ergonomics (ints as items, int weights); the aggregate
       // itself validates strictly via checkInputDataTypes
       ItemsTopKAgg(Cast(args.head, StringType), Cast(args(1), LongType),
-          cfg.copy(k = cfg.k * Oversample), cfg.k)
+        cfg.copy(k = cfg.k * Oversample), cfg.k)
         .toAggregateExpression()
-    }, "built-in")
+    },
 
-    registry.createOrReplaceTempFunction("xxh32", { args =>
+    // exact below an item-count cutoff, sketch above — the many-small-groups
+    // aggregate (cutoff = max(64, 4·k·oversample))
+    "topk_items_adaptive" -> { args =>
+      require(args.length >= 3 && args.length <= 6,
+        "usage: topk_items_adaptive(item, weight, k[, width, depth[, decay]])")
+      val cfg    = cfgFrom(args, 2)
+      val bufK   = cfg.k * Oversample
+      graft.plans.AdaptiveItemsTopKAgg(
+        Cast(args.head, StringType), Cast(args(1), LongType),
+        cfg.copy(k = bufK), cfg.k, cutoff = math.max(64, bufK * 4))
+        .toAggregateExpression()
+    },
+
+    // reference sliding-window semantics in one aggregate (see SlidingTopKAgg
+    // scaladoc for the buffer-size contract)
+    "topk_sliding" -> { args =>
+      require(args.length >= 5 && args.length <= 7,
+        "usage: topk_sliding(tick, item, weight, window_ticks, k[, width, depth])")
+      val windowTicks = litInt(args(3), "window_ticks")
+      require(windowTicks >= 1, "window_ticks must be >= 1")
+      val cfg = cfgFrom(args, 4)
+      graft.plans.SlidingTopKAgg(
+        Cast(args.head, LongType), Cast(args(1), StringType), Cast(args(2), LongType),
+        windowTicks, cfg.k, cfg.copy(k = cfg.k * Oversample))
+        .toAggregateExpression()
+    },
+
+    "xxh32" -> { args =>
       require(args.length == 2, "usage: xxh32(str, seed)")
       graft.plans.XxHash32Expr(args.head, args(1))
-    }, "built-in")
+    },
 
-    // scalar lookups over serialized sketch blobs (reference: sketch.go:90-111,172-175)
-    spark.udf.register("topk_count", (bytes: Array[Byte], item: String) =>
-      if (bytes == null || item == null) 0L
-      else graft.core.SketchCodec.decode(bytes).count(item))
-    spark.udf.register("topk_query", (bytes: Array[Byte], item: String) =>
-      bytes != null && item != null && graft.core.SketchCodec.decode(bytes).query(item))
-    // sketch blob builder for CTE-style pipelines:
-    //   WITH sk AS (SELECT topk_sketch(item, w, k, width, depth) b FROM t)
-    //   SELECT topk_count(b, 'x') FROM sk
-    registry.createOrReplaceTempFunction("topk_merge", { args =>
-      require(args.length == 1, "usage: topk_merge(sketch_blob)")
-      graft.plans.MergeSketchBlobsAgg(args.head).toAggregateExpression()
-    }, "built-in")
-
-    registry.createOrReplaceTempFunction("topk_rows", { args =>
-      require(args.length == 2, "usage: topk_rows(sketch_blob, k)")
-      graft.plans.SketchRowsExpr(args.head, args(1))
-    }, "built-in")
-
-    registry.createOrReplaceTempFunction("topk_sketch", { args =>
+    // sketch-algebra blob surface (store per-slice sketches, merge/query later)
+    "topk_sketch" -> { args =>
       require(args.length >= 3 && args.length <= 6,
         "usage: topk_sketch(item, weight, k[, width, depth[, decay]])")
       graft.plans.SketchBytesAgg(Cast(args.head, StringType), Cast(args(1), LongType),
-          cfgFrom(args, 2))
+        cfgFrom(args, 2))
         .toAggregateExpression()
-    }, "built-in")
+    },
+
+    "topk_merge" -> { args =>
+      require(args.length == 1, "usage: topk_merge(sketch_blob)")
+      graft.plans.MergeSketchBlobsAgg(args.head).toAggregateExpression()
+    },
+
+    "topk_rows" -> { args =>
+      require(args.length == 2, "usage: topk_rows(sketch_blob, k)")
+      graft.plans.SketchRowsExpr(args.head, args(1))
+    },
+
+    // scalar lookups over serialized sketch blobs (reference: sketch.go:90-111,172-175)
+    "topk_count" -> { args =>
+      require(args.length == 2, "usage: topk_count(sketch_blob, item)")
+      graft.plans.SketchCountExpr(args.head, Cast(args(1), StringType))
+    },
+
+    "topk_query" -> { args =>
+      require(args.length == 2, "usage: topk_query(sketch_blob, item)")
+      graft.plans.SketchQueryExpr(args.head, Cast(args(1), StringType))
+    }
+  )
+
+  /** Function metadata for extension injection / registry listing. */
+  def info(name: String): ExpressionInfo =
+    new ExpressionInfo(SqlFunctions.getClass.getName, name)
+
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    builders.foreach { case (name, builder) =>
+      registry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 }

@@ -109,6 +109,13 @@ object TopK {
     udf((bytes: Array[Byte], item: String) =>
       if (bytes == null || item == null) 0L else SketchCodec.decode(bytes).count(item))
 
+  /** Native-expression variant of [[countUdf]] (no Scala-UDF encoders). */
+  def countColumn(blob: Column, item: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.plans.SketchCountExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(blob),
+        org.apache.spark.sql.graftbridge.Bridge.expression(item)))
+
   /** `Query(item)` membership over a serialized sketch blob
     * (reference: sketch.go:172-175).
     */

@@ -90,3 +90,52 @@ case class SketchRowsExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SketchRowsExpr =
     copy(left = newLeft, right = newRight)
 }
+
+/** `topk_count(blob, item)` — the reference's `Count` lookup
+  * (sketch.go:90-111) over a serialized sketch blob, as a native expression
+  * (injectable via SparkSessionExtensions, unlike a session-bound Scala UDF).
+  * Per-row blob decode: pair with a broadcast of the (usually single-row)
+  * sketch side, not a per-row blob column.
+  */
+case class SketchCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"topk_count expects (binary, string), got (${left.dataType}, ${right.dataType})")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean  = true
+
+  override protected def nullSafeEval(blob: Any, item: Any): Any =
+    SketchCodec.decode(blob.asInstanceOf[Array[Byte]])
+      .count(item.asInstanceOf[UTF8String].toString)
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SketchCountExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `topk_query(blob, item)` — the reference's `Query` membership test
+  * (sketch.go:172-175) over a serialized sketch blob.
+  */
+case class SketchQueryExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"topk_query expects (binary, string), got (${left.dataType}, ${right.dataType})")
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean  = true
+
+  override protected def nullSafeEval(blob: Any, item: Any): Any =
+    SketchCodec.decode(blob.asInstanceOf[Array[Byte]])
+      .query(item.asInstanceOf[UTF8String].toString)
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SketchQueryExpr =
+    copy(left = newLeft, right = newRight)
+}

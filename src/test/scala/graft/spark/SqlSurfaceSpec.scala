@@ -1,0 +1,109 @@
+package graft.spark
+
+import graft.functions.SqlFunctions
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The full SQL surface: every registered function resolves and computes, and
+  * sliding/session top-K are expressible in plain `spark.sql`.
+  */
+class SqlSurfaceSpec extends AnyFunSuite {
+  private lazy val spark = { val s = SparkTestSession.spark; SqlFunctions.register(s); s }
+  import spark.implicits._
+
+  test("registry exposes the complete surface (same list as GraftExtensions)") {
+    SqlFunctions.register(spark)
+    val names = SqlFunctions.builders.map(_._1)
+    assert(names.toSet == Set("topk_tokens", "topk_items", "topk_items_adaptive",
+      "topk_sliding", "xxh32", "topk_sketch", "topk_merge", "topk_rows",
+      "topk_count", "topk_query"))
+    names.foreach { n =>
+      assert(spark.sessionState.functionRegistry
+        .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(n)), n)
+    }
+  }
+
+  test("topk_sliding SQL aggregate matches the dataflow SlidingTopK operator") {
+    val rows = for {
+      tick <- 0L to 9L
+      (item, n) <- Seq("a" -> (tick + 1), "b" -> 2L, "c" -> 1L)
+      _ <- 1L to n
+    } yield (tick, item)
+    rows.toDF("tick", "item").createOrReplaceTempView("sliding_updates")
+
+    val sql = spark.sql(
+      """SELECT e.tick, e.rank, e.item, e.count
+        |FROM (SELECT explode(topk_sliding(tick, item, 1L, 3, 2, 1024, 3)) e
+        |      FROM sliding_updates)
+        |ORDER BY e.tick, e.rank""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+
+    val op = graft.operators.SlidingTopK.perTick(
+        spark.table("sliding_updates"),
+        org.apache.spark.sql.functions.col("tick"),
+        org.apache.spark.sql.functions.col("item"),
+        org.apache.spark.sql.functions.lit(1L),
+        windowTicks = 3,
+        cfg = graft.core.SketchConfig.withDefaults(8, width = 1024, depth = 3), k = 2)
+      .orderBy("tick", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+
+    assert(sql.toSeq == op.toSeq)
+    // exact spot-check: tick 4 window covers ticks 2..4 -> a: 3+4+5 = 12, b: 6
+    assert(sql.filter(_._1 == 4L).toSeq ==
+      Seq((4L, 1L, "a", 12L), (4L, 2L, "b", 6L)))
+  }
+
+  test("session top-K composes in SQL from session_window + topk_items") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val rows = Seq(
+      ("u1", ts(0), "x"), ("u1", ts(10), "x"), ("u1", ts(20), "y"),
+      ("u1", ts(200), "z"), // second session after a >1h gap
+      ("u2", ts(5), "y"))
+    rows.toDF("user", "ts", "item").createOrReplaceTempView("session_events")
+
+    val out = spark.sql(
+      """SELECT user, session_window(ts, '1 hour').start AS s,
+        |       explode(topk_items(item, 1L, 1, 256, 3)) AS e
+        |FROM session_events
+        |GROUP BY user, session_window(ts, '1 hour')
+        |ORDER BY user, s""".stripMargin)
+      .selectExpr("user", "e.item", "e.count").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("u1", "x", 2L), ("u1", "z", 1L), ("u2", "y", 1L)))
+  }
+
+  test("topk_items_adaptive matches topk_items on grouped data") {
+    (1 to 300).map(i => (i % 5, s"item${i % 7}", 1L))
+      .toDF("g", "item", "w").createOrReplaceTempView("adaptive_t")
+    def run(fn: String) = spark.sql(
+      s"""SELECT g, e.item, e.count
+         |FROM (SELECT g, explode($fn(item, w, 3, 1024, 3)) e FROM adaptive_t GROUP BY g)
+         |ORDER BY g, e.count DESC, e.item""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(run("topk_items_adaptive") == run("topk_items"))
+  }
+
+  test("sketch algebra: sketch -> merge -> rows/count/query over blobs") {
+    Seq(("a", 5L), ("b", 3L), ("a", 2L), ("c", 1L))
+      .toDF("item", "w").createOrReplaceTempView("alg_t")
+    val r = spark.sql(
+      """WITH sk AS (SELECT topk_sketch(item, w, 3, 1024, 3) AS b FROM alg_t),
+        |merged AS (SELECT topk_merge(b) AS m FROM sk)
+        |SELECT topk_count(m, 'a'), topk_query(m, 'b'), topk_query(m, 'zzz'),
+        |       topk_rows(m, 1)[0].item
+        |FROM merged""".stripMargin).head()
+    assert(r.getLong(0) == 7L)
+    assert(r.getBoolean(1))
+    assert(!r.getBoolean(2))
+    assert(r.getString(3) == "a")
+  }
+
+  test("type validation rejects wrong-typed inputs at analysis time") {
+    Seq((Array(1L, 2L), "x")).toDF("toks64", "s").createOrReplaceTempView("bad_t")
+    val e = intercept[Exception] {
+      spark.sql("SELECT topk_tokens(toks64, 3) FROM bad_t").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("array<int>"))
+  }
+}
