@@ -42,24 +42,39 @@ object ScalingBench {
   private case class Point(cores: Int, lightSec: Double, heavySec: Double)
 
   def main(args: Array[String]): Unit = {
-    val coreLevels = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(2, 8, 32)
+    val coreLevels = if (args.nonEmpty) args.map(_.toInt).toSeq.distinct.sorted
+                     else Seq(4, 16)
+    // ~820M tokens: measurements must sit where compute dominates the
+    // ~0.3-0.5 s fixed per-job cost (scheduling + final merge) — the regime
+    // the north rule describes (at 100 TB, fixed costs vanish entirely)
+    val numDocs = sys.env.getOrElse("SPARK_GRAFT_SCALING_DOCS", "1600000").toLong
 
-    // generate (or reuse) the 10x table: scaling must be measured where
-    // compute dominates fixed costs, mirroring the 100 TB regime
     var spark = session(coreLevels.max)
-    val dir = graft.sources.TokenTables.ensure(spark, "data/scaling_tokens",
-      numDocs = 400000L, numPartitions = 256)
+    val dir = graft.sources.TokenTables.ensure(spark, s"data/scaling_tokens_$numDocs",
+      numDocs = numDocs, numPartitions = 256)
     val nTokens = spark.read.parquet(dir)
       .agg(org.apache.spark.sql.functions.sum("n_tok")).head().getLong(0)
     spark.stop(); fresh()
 
+    // interleave the core levels across repetitions (A/B/A/B/A/B) so host
+    // load drift hits every level equally; min-of-3 approximates the
+    // uncontended cost on the shared sandbox host
+    val reps = 3
+    val samples = scala.collection.mutable.Map.empty[Int, List[(Double, Double)]]
+      .withDefaultValue(Nil)
+    (1 to reps).foreach { rep =>
+      coreLevels.foreach { cores =>
+        val s = session(cores)
+        if (rep == 1) Bench.tokenTopK(s, dir, Bench.cfgLight) // warmup (JIT/page cache)
+        val light = Bench.time(Bench.tokenTopK(s, dir, Bench.cfgLight))._2
+        val heavy = Bench.time(Bench.tokenTopK(s, dir, Bench.cfgHeavy))._2
+        samples(cores) = (light, heavy) :: samples(cores)
+        println(f"[scaling] rep$rep local[$cores%d] light=$light%.2f heavy=$heavy%.2f")
+        s.stop(); fresh()
+      }
+    }
     val points = coreLevels.map { cores =>
-      val s = session(cores)
-      Bench.tokenTopK(s, dir, Bench.cfgLight) // warmup
-      val light = (1 to 3).map(_ => Bench.time(Bench.tokenTopK(s, dir, Bench.cfgLight))._2).min
-      val heavy = (1 to 3).map(_ => Bench.time(Bench.tokenTopK(s, dir, Bench.cfgHeavy))._2).min
-      s.stop(); fresh()
-      Point(cores, light, heavy)
+      Point(cores, samples(cores).map(_._1).min, samples(cores).map(_._2).min)
     }
 
     def thr(sec: Double): Long = (nTokens / sec).toLong
@@ -70,9 +85,11 @@ object ScalingBench {
       f"| local[${p.cores}%d] | ${p.lightSec}%.2f | ${thr(p.lightSec)}%d | ${p.heavySec}%.2f | ${thr(p.heavySec)}%d |"
     }.mkString("\n")
 
-    val pairs = points.sliding(2).collect { case Seq(lo, hi) =>
-      f"| ${lo.cores}%d -> ${hi.cores}%d | ${eff(lo, hi, _.lightSec)}%.2f | ${eff(lo, hi, _.heavySec)}%.2f |"
-    }.mkString("\n")
+    // every N -> 4N pair in the ladder (the north rule's cluster-size ratio)
+    val pairs = (for {
+      lo <- points; hi <- points if hi.cores == lo.cores * 4
+    } yield f"| ${lo.cores}%d -> ${hi.cores}%d | ${eff(lo, hi, _.lightSec)}%.2f | ${eff(lo, hi, _.heavySec)}%.2f |")
+      .mkString("\n")
 
     val perCore = thr(points.head.lightSec) / points.head.cores
 
@@ -80,7 +97,7 @@ object ScalingBench {
       f"""# BENCH — token-update throughput and scaling evidence
          |
          |Input: deterministic synthetic sequence table (the north-rule
-         |input_hint shape), $nTokens%d tokens in 400000 docs (Zipf-ish token
+         |input_hint shape), $nTokens%d tokens in $numDocs%d docs (Zipf-ish token
          |ids over a 50k vocabulary, seed 42). Job: parquet scan -> array-native
          |HeavyKeeper partial aggregation (TokensTopKAgg) -> sketch-union merge
          |-> global top-K. Timings are min-of-3 (shared sandbox host; min
@@ -111,7 +128,9 @@ object ScalingBench {
          |local[${points.head.cores}%d]: ~$perCore%d tokens/s/core on the sandbox vCPUs.
          |""".stripMargin
 
-    Files.writeString(Paths.get("BENCH.md"), md)
+    // raw output lands in BENCH_SCALING.md; BENCH.md carries the curated
+    // analysis (methodology + environment caveats) and takes these tables in
+    Files.writeString(Paths.get("BENCH_SCALING.md"), md)
     println(md)
   }
 }

@@ -230,6 +230,39 @@ object SparkEntry {
           col("rank"), col("item"), col("count"))
     }),
 
+    // Streaming SLIDING engine end-to-end: the reference's tick-ring state
+    // machine (flatMapGroupsWithState, watermark-driven Ticks) over the
+    // events stream, one global key, tick = day, window = 7 ticks. A tick
+    // emits exactly once, when the watermark proves it complete — so the
+    // final day stays pending (oracle excludes it, same as the tumbling
+    // stream query).
+    "topk_stream_sliding" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = events(s, dir).schema
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_src")
+      java.nio.file.Files.createSymbolicLink(
+        srcDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val src = s.readStream.schema(schema).parquet(srcDir.toString)
+        .select(lit("all").as("key"), col("ts").cast("timestamp").as("ts"),
+          col("event_type").as("item"), lit(1L).as("weight"))
+      val out = graft.streaming.TopKStreams.sliding(
+        src, tickMillis = 86400000L, watermarkDelay = "0 seconds",
+        graft.core.SlidingConfig.withDefaults(
+          k = 5, width = 1024, depth = 3, windowSize = 7),
+        emitK = 3)
+      val name = s"stream_sliding_${System.nanoTime()}"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name)
+        .select((col("tick") - datediff(to_date(lit("2024-01-01")), to_date(lit("1970-01-01"))))
+            .as("tick"),
+          col("rank").cast("long").as("rank"), col("item"), col("count"))
+    }),
+
     // membership surface: Query(item) as a semi-join against the top-K
     // (reference: sketch.go:172-175)
     "topk_query_membership" -> ((s, dir) => {
@@ -499,6 +532,26 @@ object SparkEntry {
          WHERE rank <= 3
            AND day < (SELECT date_trunc('day', max(ts)) FROM events)
          ORDER BY day, rank""",
+
+    // the sliding stream emits a tick only once the watermark completes it:
+    // every present tick except the last (clock starts at the first data tick)
+    "topk_stream_sliding" ->
+      """WITH per AS (
+           SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS tick,
+                  event_type AS item, count(*) AS c
+           FROM events GROUP BY 1, 2),
+         ticks AS (
+           SELECT DISTINCT tick FROM per
+           WHERE tick < (SELECT max(tick) FROM per)),
+         win AS (
+           SELECT t.tick, p.item, CAST(sum(p.c) AS BIGINT) AS count
+           FROM ticks t JOIN per p ON p.tick BETWEEN t.tick - 6 AND t.tick
+           GROUP BY 1, 2),
+         r AS (
+           SELECT tick, item, count,
+                  row_number() OVER (PARTITION BY tick ORDER BY count DESC, item) AS rank
+           FROM win)
+         SELECT tick, rank, item, count FROM r WHERE rank <= 3 ORDER BY tick, rank""",
 
     "topk_query_membership" ->
       """WITH topk AS (

@@ -36,6 +36,12 @@ object SlidingTopK {
     * Output: (tick, rank, item, count) for every tick present in the input,
     * where count sums the item's weight over ticks [t-N+1, t].
     */
+  /** @param knownTicks when the output tick set is known a priori (ticks are
+    *                    time-derived, so at scale it always is), pass it here
+    *                    — the present-tick semi-join side then comes from a
+    *                    literal table instead of a second (column-pruned)
+    *                    scan of the input.
+    */
   def perTick(
       df: DataFrame,
       tick: Column,
@@ -43,7 +49,8 @@ object SlidingTopK {
       weight: Column,
       windowTicks: Int,
       cfg: SketchConfig,
-      k: Int
+      k: Int,
+      knownTicks: Option[Seq[Long]] = None
   ): DataFrame = {
     val updates = df.select(
       tick.cast("long").as("tick"),
@@ -60,11 +67,15 @@ object SlidingTopK {
     // join against the broadcast tick list keeps only output ticks that are
     // present in the input (range-join parity; also drops the trailing
     // [max_tick+1, max_tick+N-1] phantom windows).
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tickList = knownTicks
+      .map(_.toDF("out_tick"))
+      .getOrElse(perTickSketch.select(col("tick").as("out_tick")))
     val window = perTickSketch
       .select(explode(sequence(col("tick"), col("tick") + (windowTicks - 1)))
         .as("out_tick"), col("sketch"))
-      .join(broadcast(perTickSketch.select(col("tick").as("out_tick"))),
-        Seq("out_tick"), "left_semi")
+      .join(broadcast(tickList), Seq("out_tick"), "left_semi")
     val mergeUdaf = udaf(new MergeSketchesAggregator(cfg, k))
     window
       .groupBy(col("out_tick"))
