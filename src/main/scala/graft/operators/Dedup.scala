@@ -113,21 +113,22 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
         xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))).as(Seq("band", "band_hash")))
 
-    val l = banded.select(col("band"), col("band_hash"),
-      col("doc_id").as("a"), col("sig").as("sig_a"))
-    val r = banded.select(col("band"), col("band_hash"),
-      col("doc_id").as("b"), col("sig").as("sig_b"))
-
-    // compute the estimate and threshold-filter BEFORE dedup, so the distinct
-    // shuffles only (a, b, est_jaccard) — 24 bytes — instead of dragging two
-    // 128-slot signatures per candidate row through the exchange
-    l.join(r, Seq("band", "band_hash"))
-      .where(col("a") < col("b"))
+    // SELF-alias join (both sides are the same subplan, so the sort/exchange
+    // is computed once and reused — ReusedExchange — instead of running the
+    // shingle+minhash UDF pipeline twice); the shuffle_merge hint blocks AQE
+    // from broadcasting one side, which would both duplicate the UDF pipeline
+    // AND ship every signature to every task. The estimate and
+    // threshold-filter run BEFORE dedup, so the distinct shuffles only
+    // (a, b, est_jaccard) — 24 bytes — instead of two 128-slot signatures
+    banded.as("l").hint("shuffle_merge")
+      .join(banded.as("r").hint("shuffle_merge"),
+        col("l.band") === col("r.band") && col("l.band_hash") === col("r.band_hash")
+          && col("l.doc_id") < col("r.doc_id"))
       .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), m => m))
+        size(filter(zip_with(col("l.sig"), col("r.sig"), (x, y) => x === y), m => m))
           .cast("double") / numHashes)
       .where(col("est_jaccard") >= threshold)
-      .select(col("a"), col("b"), col("est_jaccard"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"), col("est_jaccard"))
       .distinct()
   }
 
@@ -235,15 +236,19 @@ object Dedup {
     val hashed = df.select(id.cast("long").as("doc_id"), hashUdf(text).as("sh"))
     val blocked = hashed.select(col("doc_id"), col("sh"),
       posexplode(array(blockCols: _*)).as(Seq("blk_idx", "block")))
-    val l = blocked.select(col("blk_idx"), col("block"), col("doc_id").as("a"), col("sh").as("sh_a"))
-    val r = blocked.select(col("blk_idx"), col("block"), col("doc_id").as("b"), col("sh").as("sh_b"))
-    // hamming-filter per banded candidate, then dedup the slim (a, b, hamming)
-    // rows — signatures never cross the distinct's exchange
-    l.join(r, Seq("blk_idx", "block"))
-      .where(col("a") < col("b"))
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+    // self-alias join: one signature computation + one exchange, reused by
+    // both sides (shuffle_merge blocks a one-sided broadcast that would
+    // duplicate the pipeline); hamming-filter per banded candidate, then
+    // dedup the slim (a, b, hamming) rows — signatures never cross the
+    // distinct's exchange
+    blocked.as("l").hint("shuffle_merge")
+      .join(blocked.as("r").hint("shuffle_merge"),
+        col("l.blk_idx") === col("r.blk_idx") && col("l.block") === col("r.block")
+          && col("l.doc_id") < col("r.doc_id"))
+      .withColumn("hamming", bit_count(col("l.sh").bitwiseXOR(col("r.sh"))))
       .where(col("hamming") <= maxDistance)
-      .select(col("a"), col("b"), col("hamming").cast("long").as("hamming"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
+        col("hamming").cast("long").as("hamming"))
       .distinct()
   }
 }

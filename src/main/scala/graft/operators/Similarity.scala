@@ -210,16 +210,18 @@ object Similarity {
       array((0 until bands).map(q =>
         shiftright(col("sig"), q * width).bitwiseAND(lit(mask))): _*))
       .as(Seq("band", "block")))
-    val l = blocked.select(col("band"), col("block"), col("doc_id").as("a"),
-      col("v").as("va"), col("nrm").as("na"))
-    val r = blocked.select(col("band"), col("block"), col("doc_id").as("b"),
-      col("v").as("vb"), col("nrm").as("nb"))
+    // self-alias join (one signature pipeline + reused exchange;
+    // shuffle_merge blocks a one-sided broadcast that would duplicate it);
     // score per banded candidate, then dedup slim rows (see lshCosineTopK)
-    l.join(r, Seq("band", "block"))
-      .where(col("a") < col("b"))
-      .withColumn("similarity", VecDot(col("va"), col("vb")) / (col("na") * col("nb")))
+    blocked.as("l").hint("shuffle_merge")
+      .join(blocked.as("r").hint("shuffle_merge"),
+        col("l.band") === col("r.band") && col("l.block") === col("r.block")
+          && col("l.doc_id") < col("r.doc_id"))
+      .withColumn("similarity",
+        VecDot(col("l.v"), col("r.v")) / (col("l.nrm") * col("r.nrm")))
       .where(col("similarity") >= threshold)
-      .select(col("a"), col("b"), round(col("similarity"), 6).as("similarity"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
+        round(col("similarity"), 6).as("similarity"))
       .distinct()
   }
 }
