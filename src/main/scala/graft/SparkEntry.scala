@@ -55,6 +55,16 @@ object SparkEntry {
         .select("item", "count")
     }),
 
+    // EXPLICIT skew path: two-level salted aggregation (level 1 shuffles on
+    // (group, salt=hash(item)) so a hot group's updates spread over 16
+    // reducers; level 2 unions 16 fixed-size blobs per group). Same answer as
+    // the plain path — driver-verified against the same exact oracle.
+    "topk_event_types_salted" -> ((s, dir) =>
+      TopK.aggregateBySalted(events(s, dir), Seq(lit(0).as("g")),
+          col("event_type"), lit(1L), cfgWide, saltFanout = 16)
+        .where(col("rank") <= 5)
+        .select(col("item"), col("count"))),
+
     // tumbling window: per-day top-K = use-then-Reset pattern (sketch.go:211-215)
     "topk_event_types_daily" -> ((s, dir) =>
       TopK.aggregateBy(
@@ -296,6 +306,10 @@ object SparkEntry {
          FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
          WHERE len(tok) > 0
          GROUP BY 1 ORDER BY count DESC, item LIMIT 20""",
+
+    "topk_event_types_salted" ->
+      """SELECT event_type AS item, count(*) AS count
+         FROM events GROUP BY 1 ORDER BY count DESC, item LIMIT 5""",
 
     "topk_event_types_daily" ->
       """WITH c AS (

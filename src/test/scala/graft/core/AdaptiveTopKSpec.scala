@@ -80,4 +80,40 @@ class AdaptiveTopKSpec extends AnyFunSuite {
     assert(exact(Seq(p1, p2, p3), 8) == wantTop8)
     assert(exact(Seq(p3, p1, p2), 8) == wantTop8)
   }
+
+  test("randomized merge law: any partitioning + codec roundtrips == plain exact counting") {
+    // geometry tracks MORE candidates than distinct items and is
+    // collision-free, so whatever mix of map/sketch phases the random cutoffs
+    // produce, the result must equal exact counting — the merge law proper
+    val cfgBig = SketchConfig.withDefaults(k = 64, width = 2048, depth = 3)
+    val rnd = new scala.util.Random(1592619204)
+    var sketchTrials = 0
+    (1 to 25).foreach { trial =>
+      val nItems  = 1 + rnd.nextInt(40)
+      val updates = Seq.fill(30 + rnd.nextInt(200))(
+        (s"it${rnd.nextInt(nItems)}", 1L + rnd.nextInt(9)))
+      val cutoff  = 1 + rnd.nextInt(48)
+
+      // random partitioning into 1..6 parts, each encoded/decoded (shuffle
+      // simulation), merged in random order
+      val nParts = 1 + rnd.nextInt(6)
+      val parts  = updates.groupBy(_ => rnd.nextInt(nParts)).values.toList
+      val bufs = rnd.shuffle(parts.map { p =>
+        val b = new AdaptiveTopK(cfgBig, cutoff)
+        p.foreach { case (i, w) => b.addString(i, w) }
+        AdaptiveTopK.decode(AdaptiveTopK.encode(b), cfgBig, cutoff)
+      })
+      val merged = bufs.reduce((a, b) => a.mergeWith(b))
+      if (merged.sketch != null) sketchTrials += 1
+
+      val rows = merged.toArrayData(100)
+      val got = (0 until rows.numElements()).map { i =>
+        val r = rows.getStruct(i, 3); (r.getUTF8String(0).toString, r.getLong(1))
+      }
+      val want = updates.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+        .toSeq.sortBy { case (i, c) => (-c, i) }
+      assert(got == want, s"trial $trial cutoff $cutoff parts $nParts")
+    }
+    assert(sketchTrials > 5, "random cutoffs should exercise the sketch phase")
+  }
 }
