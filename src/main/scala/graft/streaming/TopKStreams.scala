@@ -51,6 +51,34 @@ object TopKStreams {
       .select(col("window"), (col("rank0") + 1).cast("long").as("rank"),
         col("e.item"), col("e.count"), col("e.fingerprint"))
 
+  /** Session-window streaming top-K (beyond-reference, completes the window
+    * triad): one sketch per (key, activity session), sessions merge in the
+    * streaming aggregation's state store as events arrive, and a session's
+    * top-K emits exactly once — when the watermark passes `session_end`
+    * (gap after the last event).
+    *
+    * @param updates streaming DataFrame with (key, ts timestamp, item string,
+    *                weight long)
+    * @param gap     inactivity gap, e.g. "1 hour"
+    */
+  def session(
+      updates: DataFrame,
+      gap: String,
+      watermarkDelay: String,
+      cfg: SketchConfig,
+      oversample: Int = 4
+  ): DataFrame =
+    updates
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("key"), session_window(col("ts"), gap))
+      .agg(TopK.udafFor(cfg, oversample)(col("item"), col("weight")).as("topk"))
+      .select(col("key"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        posexplode(col("topk")).as(Seq("rank0", "e")))
+      .select(col("key"), col("session_start"), col("session_end"),
+        (col("rank0") + 1).cast("long").as("rank"),
+        col("e.item"), col("e.count"), col("e.fingerprint"))
+
   /** Sliding-window streaming top-K over event-time ticks.
     *
     * @param updates streaming DataFrame with (key string, ts timestamp,

@@ -111,4 +111,34 @@ class TopKStreamsSpec extends AnyFunSuite {
       assert(!rows.exists(r => r._1 == "a" && r._2 == 3L && r._4 == "y"))
     } finally q.stop()
   }
+
+  test("session streaming windows merge across gaps and finalize on watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, String, Long)]
+    val df    = input.toDF.toDF("key", "ts", "item", "weight")
+    val cfg   = SketchConfig.withDefaults(2, width = 256, depth = 3)
+    val q = TopKStreams.session(df, gap = "10 seconds", watermarkDelay = "0 seconds", cfg)
+      .writeStream.format("memory").queryName("sess_stream").outputMode("append").start()
+    try {
+      // session A for u1: events at 1s and 5s (merged: one session [1, 15));
+      // then silence past the gap, session B at 60s
+      input.addData(("u1", ts(1000), "x", 1L), ("u1", ts(5000), "x", 1L),
+        ("u1", ts(5000), "y", 1L))
+      q.processAllAvailable()
+      input.addData(("u1", ts(60000), "z", 1L)) // watermark 60s > 15s -> finalize A
+      q.processAllAvailable()
+      input.addData(("u2", ts(120000), "w", 1L)) // watermark 120s > 70s -> finalize B
+      q.processAllAvailable()
+      val rows = spark.table("sess_stream")
+        .select(col("key"), col("session_start").cast("long"),
+          col("session_end").cast("long"), col("rank"), col("item"), col("count"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getString(4), r.getLong(5)))
+        .sortBy(t => (t._1, t._2, t._4))
+      // session A: x=2 (rank 1), y=1 (rank 2), bounds [1, 15)
+      assert(rows.toSeq == Seq(
+        ("u1", 1L, 15L, 1L, "x", 2L), ("u1", 1L, 15L, 2L, "y", 1L),
+        ("u1", 60L, 70L, 1L, "z", 1L)))
+    } finally q.stop()
+  }
 }
