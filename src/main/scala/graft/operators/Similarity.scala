@@ -134,6 +134,66 @@ object Similarity {
         col("neighbor_id"), round(col("similarity"), 6).as("similarity"))
   }
 
+  /** IVF-style approximate top-K: a coarse quantizer partitions the corpus
+    * into `nCells` inverted lists; each query probes its `nProbe` nearest
+    * cells and reranks exactly within them.
+    *
+    * The quantizer here is deterministic and training-free — the centroids
+    * are the `nCells` corpus rows with the smallest `xxhash64(id)` (a
+    * uniform, reproducible sample; at production scale you'd swap in sampled
+    * k-means centroids, the plan shape is identical). Everything is
+    * broadcast + equality joins:
+    *   1. centroids (nCells × dim) broadcast to assign every corpus row to
+    *      its nearest cell — one scan, no shuffle of the corpus;
+    *   2. queries (small) assign to their nProbe nearest cells and explode;
+    *   3. probe join on the CELL ID (equality), exact rerank, window top-k.
+    * Recall is a function of (nCells, nProbe) and the corpus geometry —
+    * pinned empirically against the exact oracle at the test SFs.
+    */
+  def ivfCosineTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+                    queries: DataFrame, queryId: Column, queryVec: Column,
+                    k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCells, "need 1 <= nProbe <= nCells")
+    val c = corpus.select(corpusId.cast("long").as("neighbor_id"), corpusVec.as("cvec"))
+      .withColumn("cn", sqrt(VecDot(col("cvec"), col("cvec"))))
+    // deterministic training-free coarse quantizer
+    val centroids = c
+      .withColumn("_h", xxhash64(col("neighbor_id")))
+      .orderBy(col("_h"))
+      .limit(nCells)
+      .select(col("neighbor_id").as("cell"), col("cvec").as("centroid"), col("cn").as("cen_n"))
+    // nearest-cell assignment: tiny broadcast cross, rank 1 per corpus row
+    val byRow = Window.partitionBy(col("neighbor_id"))
+      .orderBy(col("cell_sim").desc, col("cell").asc)
+    val assigned = c.crossJoin(broadcast(centroids))
+      .withColumn("cell_sim",
+        VecDot(col("cvec"), col("centroid")) / (col("cn") * col("cen_n")))
+      .withColumn("_r", row_number().over(byRow))
+      .where(col("_r") === 1)
+      .select(col("cell"), col("neighbor_id"), col("cvec"), col("cn"))
+    // query side probes its nProbe nearest cells
+    val q = queries.select(queryId.cast("long").as("query_id"), queryVec.as("qvec"))
+      .withColumn("qn", sqrt(VecDot(col("qvec"), col("qvec"))))
+    val byQuery = Window.partitionBy(col("query_id"))
+      .orderBy(col("cell_sim").desc, col("cell").asc)
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("cell_sim",
+        VecDot(col("qvec"), col("centroid")) / (col("qn") * col("cen_n")))
+      .withColumn("_r", row_number().over(byQuery))
+      .where(col("_r") <= nProbe)
+      .select(col("cell"), col("query_id"), col("qvec"), col("qn"))
+    // exact rerank within the probed cells only
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("similarity").desc, col("neighbor_id").asc)
+    assigned.join(broadcast(probes), Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("similarity", VecDot(col("cvec"), col("qvec")) / (col("cn") * col("qn")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("similarity"), 6).as("similarity"))
+  }
+
   /** Exact (all-pairs) embedding near-duplicate pairs via a nested-loop
     * self-join — kept as the differential baseline for the blocked/LSH
     * variants; do not use at scale (O(n²) pairs through a

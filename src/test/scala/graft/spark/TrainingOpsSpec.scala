@@ -81,6 +81,28 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall=$recall")
   }
 
+  test("IVF cosine top-K equals exact on clustered data (the regime IVF is for)") {
+    // 6 well-separated cluster directions in 16-d; members = direction + small
+    // jitter. A query's true neighbors share its cluster, so probing the
+    // nearest cells is lossless — unlike isotropic noise, where no
+    // coarse quantizer can prune (that regime is covered by the LSH and
+    // exact-grid paths).
+    val rng  = new java.util.Random(7)
+    val dirs = Array.fill(6)(Array.fill(16)(rng.nextGaussian().toFloat))
+    val corpus = (0L until 240L).map { i =>
+      val d = dirs((i % 6).toInt)
+      (i, d.zip(Array.fill(16)(rng.nextGaussian().toFloat * 0.05f)).map { case (a, b) => a + b })
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.where($"vec_id" < 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val exact = rows(Similarity.cosineTopK(corpus, $"vec_id", $"embedding",
+      queries, $"vec_id", $"embedding", 10))
+    val ivf = rows(Similarity.ivfCosineTopK(corpus, $"vec_id", $"embedding",
+      queries, $"vec_id", $"embedding", 10, nCells = 12, nProbe = 3))
+    assert(ivf == exact)
+  }
+
   test("embedding near-dup pairs via hyperplane LSH") {
     val v    = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
     val vEps = v.clone(); vEps(0) = v(0) + 0.01f
