@@ -70,14 +70,21 @@ object Bench {
       .config("spark.sql.files.maxPartitionBytes", "2m")
       .config("spark.sql.files.openCostInBytes", "262144")
       .config("spark.sql.session.timeZone", "UTC")
+      // engine-recommended (see SessionTopK): keep many-small-groups
+      // aggregations in object-hash mode
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // JVM/codegen/scan warmup so the alphabetically-first query doesn't
-    // absorb one-time session costs (JIT, parquet footers, broadcast init)
-    spark.range(1 << 20).selectExpr("sum(id)").collect()
-    SparkEntry.queries("topk_event_types")(spark, sfDir).collect()
+    // absorb one-time session costs (JIT, parquet footers, broadcast init).
+    // Failure-tolerant like the query loop: a broken table must not kill
+    // the bench before the error-reporting path runs.
+    try {
+      spark.range(1 << 20).selectExpr("sum(id)").collect()
+      SparkEntry.queries("topk_event_types")(spark, sfDir).collect()
+    } catch { case _: Throwable => }
 
     // --- driver-contract queries on the sf tables ---
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]

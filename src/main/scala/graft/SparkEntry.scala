@@ -23,6 +23,30 @@ object SparkEntry {
   private val cfgWide  = SketchConfig.withDefaults(k = 5, width = 1024, depth = 3)
   private val cfgUsers = SketchConfig.withDefaults(k = 20, width = 4096, depth = 3)
 
+  /** The streaming file source monitors a DIRECTORY (as in production); the
+    * testdata table is a bare file, so expose it via a symlink in a
+    * DETERMINISTIC per-sf temp dir — no data copy, no per-run accumulation.
+    * Also asserts the UTC session the NTZ→TIMESTAMP casts (and day-window
+    * alignment vs the oracle) depend on.
+    */
+  private def streamSourceDir(dir: String): java.nio.file.Path = {
+    val key = java.lang.Long.toHexString(
+      java.util.Objects.hashCode(dir).toLong & 0xffffffffL)
+    val srcDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_stream_src_$key")
+    java.nio.file.Files.createDirectories(srcDir)
+    val link = srcDir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+    srcDir
+  }
+
+  private def requireUtc(s: SparkSession): Unit =
+    require(s.conf.get("spark.sql.session.timeZone") == "UTC",
+      "stream queries cast TIMESTAMP_NTZ event time and align day windows; " +
+        "run with spark.sql.session.timeZone=UTC (Verify/Bench set it)")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("topk_event_types")(spark, "/root/testdata/sf0.001")
@@ -119,9 +143,13 @@ object SparkEntry {
     }),
 
     // md5-derived token hash so the exact Hamming predicate is recomputable
-    // by the external oracle (see Dedup.simhash64Md5)
+    // by the external oracle (see Dedup.simhash64Md5). Token-less documents
+    // (null/empty/whitespace-only) are excluded to match the oracle, whose
+    // unnest produces no rows for them (they'd otherwise all share sig 0).
     "dedup_simhash" -> ((s, dir) =>
-      graft.operators.Dedup.simhashPairs(documents(s, dir), col("doc_id"), col("text"),
+      graft.operators.Dedup.simhashPairs(
+        documents(s, dir).where(col("text").isNotNull && trim(col("text")) =!= ""),
+        col("doc_id"), col("text"),
         maxDistance = 3, hashUdf = graft.operators.Dedup.simhash64Md5)),
 
     "text_language_id" -> ((s, dir) =>
@@ -192,9 +220,6 @@ object SparkEntry {
     // session windows: per-user activity sessions (1h inactivity gap),
     // top event types per session
     "topk_sessions" -> ((s, dir) => {
-      // many small groups: keep the whole aggregation in object-hash mode
-      // (the 128-group default fallback serializes sketch buffers through a sort)
-      s.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
       graft.operators.SessionTopK.aggregateGap(
           events(s, dir), col("user_id").cast("long"), col("ts"), gapSeconds = 3600L,
           col("event_type"), lit(1L),
@@ -216,14 +241,8 @@ object SparkEntry {
       val schema = events(s, dir).schema
       // watermarks require TIMESTAMP (the testdata is NTZ; session tz is UTC
       // so the cast is value-preserving — cast back for oracle parity below)
-      // the streaming file source monitors a DIRECTORY (as in production);
-      // the testdata table is a bare file, so expose it via a symlink in a
-      // temp source dir — no data copy
-      val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_src")
-      java.nio.file.Files.createSymbolicLink(
-        srcDir.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
-      val src = s.readStream.schema(schema).parquet(srcDir.toString)
+      requireUtc(s)
+      val src = s.readStream.schema(schema).parquet(streamSourceDir(dir).toString)
         .select(col("ts").cast("timestamp").as("ts"),
           col("event_type").as("item"), lit(1L).as("weight"))
       val out = graft.streaming.TopKStreams.tumbling(
@@ -249,11 +268,8 @@ object SparkEntry {
     "topk_stream_sliding" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
       val schema = events(s, dir).schema
-      val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_src")
-      java.nio.file.Files.createSymbolicLink(
-        srcDir.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
-      val src = s.readStream.schema(schema).parquet(srcDir.toString)
+      requireUtc(s)
+      val src = s.readStream.schema(schema).parquet(streamSourceDir(dir).toString)
         .select(lit("all").as("key"), col("ts").cast("timestamp").as("ts"),
           col("event_type").as("item"), lit(1L).as("weight"))
       val out = graft.streaming.TopKStreams.sliding(

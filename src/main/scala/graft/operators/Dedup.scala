@@ -183,11 +183,16 @@ object Dedup {
     * oracle (the driver's DuckDB check recomputes the same signature from
     * `md5(tok)` hex digits). Same signature semantics, different token hash.
     */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   val simhash64Md5: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (s: String) =>
       if (s == null) 0L
       else {
-        val md  = java.security.MessageDigest.getInstance("MD5")
+        val md  = md5Local.get() // per-row getInstance = JCA lookup + alloc
         val acc = new Array[Int](64)
         s.split("\\s+").foreach { tok =>
           if (tok.nonEmpty) {

@@ -56,6 +56,12 @@ object SessionTopK {
     * Boundary convention matches SQL sessionization (and the driver oracle):
     * an event exactly `gapSeconds` after its predecessor CONTINUES the
     * session; `session_end = last_ts + gap`.
+    *
+    * Recommended session conf: raise
+    * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` (default
+    * 128) well above the expected sessions-per-task, or the aggregate falls
+    * back to sort-based execution and serializes a buffer per group through
+    * the sort. Verify/Bench set 131072.
     */
   def aggregateGap(df: DataFrame, key: Column, ts: Column, gapSeconds: Long,
                    item: Column, weight: Column, cfg: SketchConfig,

@@ -104,19 +104,20 @@ object Similarity {
     require(width < 64, "band width must be < 64 (mask arithmetic)")
     val mask = (1L << width) - 1
     val sigU = hyperplaneSignature(nBits)
-    def banded(df: DataFrame, idName: String, vecName: String) =
+    // signature AND norm computed once per row, BEFORE band explosion —
+    // after it they'd be evaluated `bands` times per row
+    def banded(df: DataFrame, idName: String, vecName: String, normName: String) =
       df.withColumn("sig", sigU(col(vecName)))
-        .select(col(idName), col(vecName), posexplode(
+        .withColumn(normName, sqrt(VecDot(col(vecName), col(vecName))))
+        .select(col(idName), col(vecName), col(normName), posexplode(
           array((0 until bands).map(q =>
             shiftright(col("sig"), q * width).bitwiseAND(lit(mask))): _*))
           .as(Seq("band", "block")))
 
     val c = banded(corpus.select(corpusId.cast("long").as("neighbor_id"), corpusVec.as("cvec")),
-      "neighbor_id", "cvec")
-      .withColumn("cn", sqrt(VecDot(col("cvec"), col("cvec"))))
+      "neighbor_id", "cvec", "cn")
     val q = banded(queries.select(queryId.cast("long").as("query_id"), queryVec.as("qvec")),
-      "query_id", "qvec")
-      .withColumn("qn", sqrt(VecDot(col("qvec"), col("qvec"))))
+      "query_id", "qvec", "qn")
 
     // score per banded candidate, then dedup on the slim (ids, sim) row —
     // never shuffles vectors through the distinct

@@ -107,11 +107,18 @@ case class SketchCountExpr(left: Expression, right: Expression)
       s"topk_count expects (binary, string), got (${left.dataType}, ${right.dataType})")
 
   override def dataType: DataType = LongType
-  override def nullable: Boolean  = true
+  override def nullable: Boolean  = false
 
-  override protected def nullSafeEval(blob: Any, item: Any): Any =
-    SketchCodec.decode(blob.asInstanceOf[Array[Byte]])
+  // the reference's Count of an unknown item is 0 (sketch.go:90-111): null
+  // blob / null item count as 0, not SQL NULL (matches the pre-existing UDF
+  // surface, so sums over sparse lookups keep counting zeros)
+  override def eval(input: InternalRow): Any = {
+    val blob = left.eval(input)
+    val item = right.eval(input)
+    if (blob == null || item == null) 0L
+    else SketchCodec.decode(blob.asInstanceOf[Array[Byte]])
       .count(item.asInstanceOf[UTF8String].toString)
+  }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SketchCountExpr =
     copy(left = newLeft, right = newRight)
@@ -130,11 +137,17 @@ case class SketchQueryExpr(left: Expression, right: Expression)
       s"topk_query expects (binary, string), got (${left.dataType}, ${right.dataType})")
 
   override def dataType: DataType = BooleanType
-  override def nullable: Boolean  = true
+  override def nullable: Boolean  = false
 
-  override protected def nullSafeEval(blob: Any, item: Any): Any =
-    SketchCodec.decode(blob.asInstanceOf[Array[Byte]])
+  // membership of an unknown/null item is false, not SQL NULL (reference:
+  // sketch.go:172-175; matches the pre-existing UDF surface)
+  override def eval(input: InternalRow): Any = {
+    val blob = left.eval(input)
+    val item = right.eval(input)
+    if (blob == null || item == null) false
+    else SketchCodec.decode(blob.asInstanceOf[Array[Byte]])
       .query(item.asInstanceOf[UTF8String].toString)
+  }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SketchQueryExpr =
     copy(left = newLeft, right = newRight)

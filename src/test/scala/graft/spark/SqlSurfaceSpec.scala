@@ -53,6 +53,24 @@ class SqlSurfaceSpec extends AnyFunSuite {
       Seq((4L, 1L, "a", 12L), (4L, 2L, "b", 6L)))
   }
 
+  test("topk_sliding works per GROUP (independent rings per key)") {
+    Seq(
+      ("k1", 0L, "a"), ("k1", 0L, "a"), ("k1", 1L, "b"),
+      ("k2", 0L, "z"), ("k2", 2L, "z"))
+      .toDF("key", "tick", "item").createOrReplaceTempView("sliding_grouped")
+    val rows = spark.sql(
+      """SELECT key, e.tick, e.rank, e.item, e.count
+        |FROM (SELECT key, explode(topk_sliding(tick, item, 1L, 2, 1, 256, 3)) e
+        |      FROM sliding_grouped GROUP BY key)
+        |ORDER BY key, e.tick""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(3), r.getLong(4)))
+    // k1: tick0 a=2; tick1 window(0,1): a=2 wins over b=1
+    // k2: tick0 z=1; tick2 window(1,2): z=1 (tick-0 aged out)
+    assert(rows.toSeq == Seq(
+      ("k1", 0L, "a", 2L), ("k1", 1L, "a", 2L),
+      ("k2", 0L, "z", 1L), ("k2", 2L, "z", 1L)))
+  }
+
   test("session top-K composes in SQL from session_window + topk_items") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def ts(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000L)
