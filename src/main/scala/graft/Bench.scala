@@ -77,14 +77,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // JVM/codegen/scan warmup so the alphabetically-first query doesn't
-    // absorb one-time session costs (JIT, parquet footers, broadcast init).
-    // Failure-tolerant like the query loop: a broken table must not kill
-    // the bench before the error-reporting path runs.
-    try {
-      spark.range(1 << 20).selectExpr("sum(id)").collect()
-      SparkEntry.queries("topk_event_types")(spark, sfDir).collect()
-    } catch { case _: Throwable => }
+    // JVM/codegen/scan warmup so per-query timings measure OPERATORS, not
+    // first-call costs (JIT of UDF/kernel code paths, codegen compilation,
+    // parquet footers, broadcast init): run the full query surface once on
+    // the tiny sf0.001 tables — cheap, and JIT warmth is a constant factor
+    // every long-running production job has. Failure-tolerant like the query
+    // loop: a broken table must not kill the error-reporting path.
+    val warmDir0 = "/root/testdata/sf0.001"
+    val warmDir  = if (new java.io.File(warmDir0).isDirectory) warmDir0 else sfDir
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, warmDir).collect() catch { case _: Throwable => }
+    }
 
     // --- driver-contract queries on the sf tables ---
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
