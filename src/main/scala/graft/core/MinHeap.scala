@@ -17,7 +17,11 @@ final case class TopKEntry(fingerprint: Int, item: String, count: Long)
   *     admission/eviction decisions;
   *   - `update`: reject only if the heap is full AND count is strictly below
   *     the minimum (count == min on a full heap DOES evict; heap/heap.go:137);
-  *     an existing item's count may be updated downward as well as upward;
+  *     an existing item's count may be updated downward as well as upward —
+  *     EXCEPT that the reject guard runs BEFORE the existing-item lookup
+  *     (faithful to heap.go:137-139), so on a full heap a tracked item is
+  *     never updated below minCount; the stale higher count persists until
+  *     the next admissible update or a reinit/recount;
   *   - `reinit`: re-heapify, then pop all zero-count entries (heap/heap.go:48-55).
   */
 final class MinHeap(val k: Int) extends Serializable {

@@ -32,6 +32,21 @@ final class Rng(seed: Long) extends Serializable {
   @inline def nextFloat(): Float =
     (nextLong() >>> 40).toFloat / (1 << 24).toFloat
 
+  /** Number of Bernoulli(p) trials up to and including the first success —
+    * Geometric(p) sampled in closed form from ONE draw (inverse CDF), for
+    * skipping long runs of failed decay trials instead of drawing per trial.
+    * Returns Long.MaxValue when p is so small the first success is beyond
+    * any realistic trial budget (p <= 0 after float rounding).
+    */
+  def geometricTrials(p: Float): Long = {
+    if (p >= 1f) return 1L
+    if (p <= 0f) { nextFloat(); return Long.MaxValue }
+    val u = nextFloat().toDouble // in [0, 1)
+    // k = ceil(ln(1-u) / ln(1-p)) via floor(+1); both logs are negative
+    val k = (math.log1p(-u) / math.log1p(-p)).toLong + 1L
+    if (k < 1L) 1L else k
+  }
+
   /** Current stream position — serialized with the sketch for exact replay. */
   def getState: Long = state
   def setState(s: Long): Unit = state = s

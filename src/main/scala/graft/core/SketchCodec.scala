@@ -12,8 +12,23 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
   * position (for exact replay), cell arrays, heap entries.
   */
 object SketchCodec {
-  private final val MagicPlain: Int   = 0x544b5031 // "TKP1"
-  private final val MagicSliding: Int = 0x544b5331 // "TKS1"
+  // "2" layouts: heap items are length-prefixed raw UTF-8 (writeUTF's 64 KB
+  // modified-UTF-8 limit would crash serialization of any sketch tracking a
+  // long item — item values are arbitrary user strings)
+  private final val MagicPlain: Int   = 0x544b5032 // "TKP2"
+  private final val MagicSliding: Int = 0x544b5332 // "TKS2"
+
+  private def writeItem(out: DataOutputStream, item: String): Unit = {
+    val b = item.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    out.writeInt(b.length)
+    out.write(b)
+  }
+
+  private def readItem(in: DataInputStream): String = {
+    val b = new Array[Byte](in.readInt())
+    in.readFully(b)
+    new String(b, java.nio.charset.StandardCharsets.UTF_8)
+  }
 
   // ---------- plain ----------
 
@@ -112,7 +127,7 @@ object SketchCodec {
     var i = 0
     while (i < heap.size) {
       out.writeInt(heap.fingerprintAt(i))
-      out.writeUTF(heap.itemAt(i))
+      writeItem(out, heap.itemAt(i))
       out.writeLong(heap.countAt(i))
       i += 1
     }
@@ -123,7 +138,7 @@ object SketchCodec {
     var i = 0
     while (i < n) {
       val fp    = in.readInt()
-      val item  = in.readUTF()
+      val item  = readItem(in)
       val count = in.readLong()
       heap.update(item, fp, count)
       i += 1

@@ -184,6 +184,10 @@ final class SlidingSketch(val cfg: SlidingConfig) extends Serializable {
 
   /** Core sliding update (reference: sliding/sketch.go:190-247). */
   def add(item: String, bytes: Array[Byte], increment: Long): Boolean = {
+    // uint32 increment domain, same guard as Sketch.addBytes: a negative
+    // weight would break the countsSum==0 empty-bucket sentinel and index
+    // the decay LUT negatively (streaming feeds user weights through here)
+    if (increment <= 0L) return false
     val fingerprint = Hashing.fingerprint(bytes)
     var maxSum      = 0L
     var row         = 0
@@ -192,8 +196,11 @@ final class SlidingSketch(val cfg: SlidingConfig) extends Serializable {
       val base = idx * hist
       val sum  = countsSum(idx)
       if (sum == 0L) { // empty bucket: claim it
+        // invariant: slots are non-negative and countsSum == Σ slots, so
+        // sum == 0 already implies every ring slot is 0 — no fill needed
+        // (decay only decrements non-zero minimum slots; tick zeroes the
+        // expiring slot; takeover happens exactly at sum == 0)
         fingerprints(idx) = fingerprint
-        java.util.Arrays.fill(ring, base, base + hist, 0L)
         ring(base + first(idx)) = increment
         countsSum(idx) = increment
         if (increment > maxSum) maxSum = increment
@@ -208,22 +215,45 @@ final class SlidingSketch(val cfg: SlidingConfig) extends Serializable {
         var break              = false
         while (incrementRemaining > 0 && !break) {
           val decay = decayAt(s)
-          if (rng.nextFloat() < decay) {
-            val slot = findNonzeroMinimumSlot(idx)
-            ring(base + slot) -= 1
-            s -= 1
-            if (s == 0L) {
-              // takeover: all slots are zero; the reference writes the
-              // remaining mass at slot 0 (sliding/sketch.go:236), not at
-              // `first` — ported faithfully.
-              fingerprints(idx) = fingerprint
-              s = incrementRemaining
-              ring(base) = incrementRemaining
-              if (s > maxSum) maxSum = s
-              break = true
+          if (incrementRemaining <= Sketch.GeometricSkipThreshold) {
+            // reference-exact per-trial draws
+            if (rng.nextFloat() < decay) {
+              val slot = findNonzeroMinimumSlot(idx)
+              ring(base + slot) -= 1
+              s -= 1
+              if (s == 0L) {
+                // takeover: all slots are zero; the reference writes the
+                // remaining mass at slot 0 (sliding/sketch.go:236), not at
+                // `first` — ported faithfully.
+                fingerprints(idx) = fingerprint
+                s = incrementRemaining
+                ring(base) = incrementRemaining
+                if (s > maxSum) maxSum = s
+                break = true
+              }
+            }
+            if (!break) incrementRemaining -= 1
+          } else {
+            // huge weighted adds: closed-form geometric skip (see
+            // Sketch.GeometricSkipThreshold) — one draw per decrement
+            val k = rng.geometricTrials(decay)
+            if (k > incrementRemaining) {
+              incrementRemaining = 0L
+            } else {
+              val slot = findNonzeroMinimumSlot(idx)
+              ring(base + slot) -= 1
+              s -= 1
+              if (s == 0L) {
+                fingerprints(idx) = fingerprint
+                s = incrementRemaining - (k - 1)
+                ring(base) = s
+                if (s > maxSum) maxSum = s
+                break = true
+              } else {
+                incrementRemaining -= k
+              }
             }
           }
-          if (!break) incrementRemaining -= 1
         }
         countsSum(idx) = s
       }

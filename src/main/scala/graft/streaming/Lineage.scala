@@ -35,21 +35,27 @@ object Lineage {
     val offsets = Paths.get(checkpointDir, "offsets")
     val commits = Paths.get(checkpointDir, "commits")
     if (!Files.isDirectory(offsets)) return Seq.empty
+    // Files.list streams hold an open directory fd until closed — leak-free
+    // under repeated per-batch monitoring calls
+    def listNames(dir: java.nio.file.Path): Seq[String] = {
+      val s = Files.list(dir)
+      try s.iterator().asScala.map(_.getFileName.toString).toSeq
+      finally s.close()
+    }
     val committed: Set[Long] =
       if (Files.isDirectory(commits))
-        Files.list(commits).iterator().asScala
-          .flatMap(p => p.getFileName.toString.toLongOption).toSet
+        listNames(commits).flatMap(_.toLongOption).toSet
       else Set.empty
-    Files.list(offsets).iterator().asScala
-      .flatMap { p =>
-        p.getFileName.toString.toLongOption.map { id =>
+    listNames(offsets)
+      .flatMap { name =>
+        name.toLongOption.map { id =>
           // offset log: line 1 = "v1", line 2 = metadata JSON, then one
           // offset JSON per source
-          val lines = Files.readAllLines(p).asScala.toSeq
+          val lines = Files.readAllLines(offsets.resolve(name)).asScala.toSeq
           BatchLineage(id, committed.contains(id), lines.drop(2))
         }
       }
-      .toSeq.sortBy(_.batchId)
+      .sortBy(_.batchId)
   }
 
   /** Human-readable lineage report (batch -> consumed source offsets). */

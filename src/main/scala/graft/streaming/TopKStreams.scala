@@ -100,9 +100,17 @@ object TopKStreams {
     import spark.implicits._
 
     // the watermarked ts column must flow into the stateful operator itself
-    // (Spark's event-time-timeout check requires it), so keep it typed
+    // (Spark's event-time-timeout check requires it), so keep it typed.
+    // Null rows are dropped (they'd NPE the tuple encoder / state function;
+    // the batch aggregate paths guard these per-row too). NOTE: the filter
+    // may be pushed below the watermark operator, so dropped rows do not
+    // advance event time — that's the documented semantic. Non-positive
+    // weights stay HERE (they must advance the watermark, e.g. heartbeat
+    // rows) and become no-ops inside the state function.
     val typed = updates
       .withWatermark("ts", watermarkDelay)
+      .where(col("key").isNotNull && col("ts").isNotNull &&
+        col("item").isNotNull && col("weight").isNotNull)
       .select(
         col("key").cast("string").as("_1"),
         col("ts").as("_2"),
@@ -141,8 +149,12 @@ object TopKStreams {
     if (rows.nonEmpty) {
       val agg = new java.util.HashMap[(Long, String), java.lang.Long]()
       st.pending.foreach { case (t, i, w) => agg.merge((t, i), w, (a, b) => a + b) }
+      // defensive re-check of the upstream row filter (null ts/item, w <= 0):
+      // a bad row must degrade to a no-op, never NPE-kill the query or
+      // poison the checkpointed state
       rows.foreach { case (_, ts, item, weight) =>
-        agg.merge((Math.floorDiv(ts.getTime, tickMillis), item), weight, (a, b) => a + b)
+        if (ts != null && item != null && weight > 0)
+          agg.merge((Math.floorDiv(ts.getTime, tickMillis), item), weight, (a, b) => a + b)
       }
       st.pending.clear()
       agg.forEach((k, v) => st.pending += ((k._1, k._2, v)))
@@ -235,7 +247,11 @@ object SlidingStreamCodec {
     out.writeLong(st.clockTick)
     out.writeInt(st.pending.size)
     st.pending.foreach { case (t, i, w) =>
-      out.writeLong(t); out.writeUTF(i); out.writeLong(w)
+      out.writeLong(t)
+      // length-prefixed raw UTF-8: writeUTF caps items at 64 KB
+      val ib = i.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(ib.length); out.write(ib)
+      out.writeLong(w)
     }
     out.flush()
     bos.toByteArray
@@ -252,7 +268,10 @@ object SlidingStreamCodec {
     val pending  = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
     var i = 0
     while (i < n) {
-      pending += ((in.readLong(), in.readUTF(), in.readLong()))
+      val t  = in.readLong()
+      val ib = new Array[Byte](in.readInt())
+      in.readFully(ib)
+      pending += ((t, new String(ib, java.nio.charset.StandardCharsets.UTF_8), in.readLong()))
       i += 1
     }
     new SlidingStreamState(sketch, clockTick, pending)
