@@ -90,14 +90,24 @@ object Bench {
     }
 
     // --- driver-contract queries on the sf tables ---
+    // min-of-2 per query: the sandbox host intermittently loses most cycles
+    // to a co-tenant (identical cached jobs observed at 5-10x wall spread);
+    // the min is the better estimate of the uncontended cost
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (ok, sec) = time {
-        try { fn(spark, sfDir).collect(); true }
-        catch { case e: Throwable => errors += s"$name: ${e.getClass.getSimpleName}"; false }
+      def once(): Double = {
+        val (ok, sec) = time {
+          try { fn(spark, sfDir).collect(); true }
+          catch { case e: Throwable => errors += s"$name: ${e.getClass.getSimpleName}"; false }
+        }
+        // a failed query must not masquerade as a fast success
+        if (ok) sec else -1.0
       }
-      // a failed query must not masquerade as a fast success
-      name -> (if (ok) sec else -1.0)
+      val a = once()
+      val b = if (a >= 0) once() else a
+      // min over the SUCCESSFUL runs (a flaky second run still lands in
+      // `errors` but must not erase the first run's valid timing)
+      name -> (if (a >= 0 && b >= 0) math.min(a, b) else math.max(a, b))
     }
 
     // --- token throughput on the synthetic sequence table ---
@@ -105,8 +115,8 @@ object Bench {
     tokenTopK(spark, dir, cfgLight) // warmup (JIT + page cache)
     val lightSec   = (1 to 3).map(_ => time(tokenTopK(spark, dir, cfgLight))._2).min
     val heavySec   = (1 to 3).map(_ => time(tokenTopK(spark, dir, cfgHeavy))._2).min
-    val (_, explodeSec) = time(tokenTopKExplode(spark, dir, cfgLight))
-    val (_, exactSec)   = time(tokenExact(spark, dir, 100))
+    val explodeSec = (1 to 2).map(_ => time(tokenTopKExplode(spark, dir, cfgLight))._2).min
+    val exactSec   = (1 to 2).map(_ => time(tokenExact(spark, dir, 100))._2).min
 
     val all = queryTimes ++ Seq(
       "tokens_topk_k10_w1024_d3"  -> lightSec,
