@@ -269,18 +269,9 @@ final class Sketch(val cfg: SketchConfig) extends Serializable {
     }
   }
 
-  /** decay^count via LUT, with the reference's closed-form extension for
-    * counts beyond the LUT (sketch.go:146-153).
-    */
-  @inline private def decayAt(count: Long): Float = {
-    val lutSize = decayLUT.length
-    if (count < lutSize) decayLUT(count.toInt)
-    else {
-      val q = count / (lutSize - 1)
-      val r = (count % (lutSize - 1)).toInt
-      (math.pow(decayLUT(lutSize - 1).toDouble, q.toDouble).toFloat * decayLUT(r))
-    }
-  }
+  /** decay^count via LUT + closed-form extension (shared: SketchOps). */
+  @inline private def decayAt(count: Long): Float =
+    SketchOps.decayAt(decayLUT, count)
 
   /** Point estimate (reference: sketch.go:90-111): exact tracked count on a
     * heap hit, else max matching-fingerprint bucket count, else 0.
@@ -350,23 +341,8 @@ final class Sketch(val cfg: SketchConfig) extends Serializable {
       i += 1
     }
     // Union heap candidates, re-estimated against merged cells.
-    val candidates = (heap.entries ++ other.heap.entries).map(_.item).distinct
-    val estimated = candidates.map { it =>
-      val bytes = it.getBytes(StandardCharsets.UTF_8)
-      val fp    = Hashing.fingerprint(bytes)
-      var mx    = 0L
-      var row   = 0
-      while (row < depth) {
-        val idx = Hashing.bucketIndex(bytes, row, width)
-        if (fingerprints(idx) == fp && counts(idx) > mx) mx = counts(idx)
-        row += 1
-      }
-      TopKEntry(fp, it, mx)
-    }
-    heap.reset()
-    estimated.filter(_.count > 0).sortBy(e => (-e.count, e.item)).take(cfg.k).foreach { e =>
-      heap.update(e.item, e.fingerprint, e.count)
-    }
+    SketchOps.rebuildHeapFromUnion(heap, other.heap.entries, cfg.k,
+      depth, width, fingerprints, counts(_))
     this
   }
 }

@@ -262,15 +262,8 @@ final class SlidingSketch(val cfg: SlidingConfig) extends Serializable {
     heap.update(item, fingerprint, maxSum)
   }
 
-  @inline private def decayAt(count: Long): Float = {
-    val lutSize = decayLUT.length
-    if (count < lutSize) decayLUT(count.toInt)
-    else {
-      val q = count / (lutSize - 1)
-      val r = (count % (lutSize - 1)).toInt
-      math.pow(decayLUT(lutSize - 1).toDouble, q.toDouble).toFloat * decayLUT(r)
-    }
-  }
+  @inline private def decayAt(count: Long): Float =
+    SketchOps.decayAt(decayLUT, count)
 
   /** Point estimate over the window (reference: sliding/sketch.go:131-152). */
   def count(item: String): Long = {
@@ -343,23 +336,8 @@ final class SlidingSketch(val cfg: SlidingConfig) extends Serializable {
       }
       b += 1
     }
-    val candidates = (heap.entries ++ other.heap.entries).map(_.item).distinct
-    val estimated = candidates.map { it =>
-      val bytes = it.getBytes(StandardCharsets.UTF_8)
-      val fp    = Hashing.fingerprint(bytes)
-      var mx    = 0L
-      var row   = 0
-      while (row < depth) {
-        val idx = Hashing.bucketIndex(bytes, row, width)
-        if (fingerprints(idx) == fp && countsSum(idx) > mx) mx = countsSum(idx)
-        row += 1
-      }
-      TopKEntry(fp, it, mx)
-    }
-    heap.reset()
-    estimated.filter(_.count > 0).sortBy(e => (-e.count, e.item)).take(cfg.k).foreach { e =>
-      heap.update(e.item, e.fingerprint, e.count)
-    }
+    SketchOps.rebuildHeapFromUnion(heap, other.heap.entries, cfg.k,
+      depth, width, fingerprints, countsSum(_))
     this
   }
 }
