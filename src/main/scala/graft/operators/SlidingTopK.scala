@@ -14,8 +14,9 @@ import org.apache.spark.sql.functions._
   * Plan shape (all distributed, no driver loop):
   *   1. partial-aggregate one sketch per tick (map-side combine per partition,
   *      shuffle = #ticks × sketch-size, independent of row count);
-  *   2. range-join each output tick t to its window ticks [t-N+1, t] —
-  *      #ticks × N tiny rows;
+  *   2. explode each tick's contribution range [t, t+N-1] (linear N-fold
+  *      duplication of fixed-size blobs — an equality groupBy, NOT a range
+  *      join) — #ticks × N tiny rows;
   *   3. union-merge the window's sketches per t, emit top-K rows.
   *
   * At 100 TB the expensive step is (1), which is a single scan with map-side
