@@ -35,10 +35,15 @@ object SparkEntry {
     val srcDir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), s"graft_stream_src_$key")
     java.nio.file.Files.createDirectories(srcDir)
-    val link = srcDir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(link))
-      java.nio.file.Files.createSymbolicLink(
-        link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val link   = srcDir.resolve("events.parquet")
+    val target = java.nio.file.Paths.get(s"$dir/events.parquet")
+    // a stale or hash-colliding link from an earlier run would silently feed
+    // the stream the wrong table — verify the target and recreate on mismatch
+    if (java.nio.file.Files.isSymbolicLink(link) &&
+        java.nio.file.Files.readSymbolicLink(link) != target)
+      java.nio.file.Files.delete(link)
+    if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+      java.nio.file.Files.createSymbolicLink(link, target)
     srcDir
   }
 

@@ -42,8 +42,14 @@ final class Rng(seed: Long) extends Serializable {
     if (p >= 1f) return 1L
     if (p <= 0f) { nextFloat(); return Long.MaxValue }
     val u = nextFloat().toDouble // in [0, 1)
-    // k = ceil(ln(1-u) / ln(1-p)) via floor(+1); both logs are negative
-    val k = (math.log1p(-u) / math.log1p(-p)).toLong + 1L
+    // k = ceil(ln(1-u) / ln(1-p)) via floor(+1); both logs are negative.
+    // For tiny p the ratio can exceed Long.MaxValue — Double.toLong saturates
+    // to Long.MaxValue and the +1 would wrap negative (then clamp to 1 ⇒
+    // immediate success, the opposite of the true distribution). Saturate in
+    // double space before converting.
+    val kd = math.log1p(-u) / math.log1p(-p)
+    if (kd >= Long.MaxValue.toDouble) return Long.MaxValue
+    val k = kd.toLong + 1L
     if (k < 1L) 1L else k
   }
 

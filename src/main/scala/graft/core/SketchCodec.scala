@@ -14,7 +14,11 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 object SketchCodec {
   // "2" layouts: heap items are length-prefixed raw UTF-8 (writeUTF's 64 KB
   // modified-UTF-8 limit would crash serialization of any sketch tracking a
-  // long item — item values are arbitrary user strings)
+  // long item — item values are arbitrary user strings).
+  // COMPATIBILITY: the v1 ("TKP1"/"TKS1") layout is pre-release-only and has
+  // no read path — decode fails loudly on it. This is deliberate: no v1 blob
+  // or streaming checkpoint exists outside this repo's own development
+  // history. Post-release layout changes must keep a fallback reader.
   private final val MagicPlain: Int   = 0x544b5032 // "TKP2"
   private final val MagicSliding: Int = 0x544b5332 // "TKS2"
 

@@ -24,6 +24,14 @@ object SessionTopK {
     * @param item    counted item
     * @param weight  per-row weight
     * Output: key, session_start, session_end, rank, item, count, fingerprint.
+    *
+    * Boundary convention (differs from `aggregateGap`!): Spark's
+    * `session_window` treats an event exactly `gap` after its predecessor as
+    * starting a NEW session (windows are half-open `[start, start+gap)`),
+    * while `aggregateGap` — like SQL `lag`-based sessionization and the
+    * driver oracle — CONTINUES the session on the boundary timestamp (break
+    * only when `ts > prev + gap`). The two agree on every input whose
+    * inter-event gaps never land exactly on `gap`.
     */
   def aggregate(df: DataFrame, key: Column, ts: Column, gap: String,
                 item: Column, weight: Column, cfg: SketchConfig,

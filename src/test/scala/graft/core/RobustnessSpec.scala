@@ -81,6 +81,32 @@ class RobustnessSpec extends AnyFunSuite {
     assert((1 to 1000).forall(_ => rng.geometricTrials(0.999f) >= 1L))
   }
 
+  test("geometricTrials: tiny p saturates instead of wrapping negative") {
+    // for p ~ 1e-20, ln(1-u)/ln(1-p) exceeds Long.MaxValue for any u not
+    // vanishingly small; Double.toLong saturates, and before the fix the +1
+    // wrapped to Long.MinValue -> clamp to 1 = immediate success
+    val rng = new Rng(13L)
+    val draws = (1 to 10000).map(_ => rng.geometricTrials(1e-20f))
+    // every draw astronomically large (success essentially never): kd >=
+    // |ln(1-2^-24)|/1e-20 ~ 6e12 for the smallest nonzero u; ~91% of draws
+    // (u >= 0.088) exceed Long.MaxValue and must saturate, not wrap
+    assert(draws.forall(_ >= 1_000_000_000_000L), s"min=${draws.min}")
+    assert(draws.count(_ == Long.MaxValue) > 8000, s"saturated=${draws.count(_ == Long.MaxValue)}")
+  }
+
+  test("heavily-defended bucket survives a huge colliding add (tiny-decay regime)") {
+    // decay 0.9^500 ~ 1.3e-23: per-trial success is essentially impossible, so
+    // a 2e9-weight colliding add must leave the owner untouched. Before the
+    // geometricTrials fix the wrap made every draw an immediate success and
+    // the bucket was demolished in ~500 draws.
+    val s = new Sketch(SketchConfig(k = 2, width = 1, depth = 1, decay = 0.9f,
+      lutSize = 256, seed = 99L))
+    s.add("a", 500L)
+    s.add("b", 2_000_000_000L)
+    assert(s.count("a") == 500L, s"owner decayed to ${s.count("a")}")
+    assert(s.count("b") == 0L, s"intruder claimed count ${s.count("b")}")
+  }
+
   test("per-trial and skip regimes agree statistically on takeover frequency") {
     // same scenario, increments straddling the threshold: an established
     // count-8 bucket vs a weighted add; the probability the add takes the
