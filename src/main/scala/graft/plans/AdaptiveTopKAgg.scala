@@ -177,11 +177,11 @@ case class AdaptiveItemsTopKAgg(
 
   override def createAggregationBuffer(): AdaptiveTopK = new AdaptiveTopK(cfg, cutoff)
 
+  @transient private lazy val reader = new TopKResult.ItemWeightReader(left, right)
+
   override def update(buffer: AdaptiveTopK, input: InternalRow): AdaptiveTopK = {
-    val item = left.eval(input)
-    if (item != null) {
-      buffer.add(item.asInstanceOf[UTF8String], TopKResult.weightAsLong(right.eval(input)))
-    }
+    val u = reader.item(input)
+    if (u != null) buffer.add(u, reader.weight(input))
     buffer
   }
 

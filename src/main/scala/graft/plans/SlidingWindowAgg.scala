@@ -68,14 +68,14 @@ case class SlidingTopKAgg(
 
   override def createAggregationBuffer(): TickRing = new TickRing(cfg)
 
+  @transient private lazy val reader = new TopKResult.ItemWeightReader(second, third)
+
   override def update(buffer: TickRing, input: InternalRow): TickRing = {
     val tick = first.eval(input)
-    val item = second.eval(input)
-    if (tick != null && item != null) {
-      val w = TopKResult.weightAsLong(third.eval(input))
-      val u = item.asInstanceOf[UTF8String]
+    val u    = reader.item(input)
+    if (tick != null && u != null) {
       buffer.sketchFor(TopKResult.weightAsLong(tick))
-        .addUnsafe(u.getBaseObject, u.getBaseOffset, u.numBytes, w)
+        .addUnsafe(u.getBaseObject, u.getBaseOffset, u.numBytes, reader.weight(input))
     }
     buffer
   }

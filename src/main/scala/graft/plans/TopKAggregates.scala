@@ -4,7 +4,7 @@ import graft.core.{Sketch, SketchCodec, SketchConfig}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, GenericInternalRow, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -52,6 +52,39 @@ object TopKResult {
     case other           => other.toString.toLong
   }
 
+  /** Per-task accessor for the (item string, weight integral) aggregate
+    * inputs. AggregationIterator binds the children to the input schema
+    * before the first `update`, so on the hot path they are BoundReferences
+    * (or a Literal weight): read them by ordinal with the typed UnsafeRow
+    * getters, skipping `Expression.eval`'s megamorphic dispatch and the
+    * weight's per-row Long boxing. Non-bound children (interpreted tests,
+    * exotic rewrites) fall back to eval with identical semantics.
+    * Instantiate as `@transient lazy val` so each bound copy resolves its own
+    * ordinals.
+    */
+  final class ItemWeightReader(left: Expression, right: Expression) {
+    private val itemOrd: Int = left match {
+      case b: BoundReference if b.dataType == StringType => b.ordinal
+      case _                                             => -1
+    }
+    private val wOrd: Int = right match {
+      case b: BoundReference if b.dataType == LongType => b.ordinal
+      case _                                           => -1
+    }
+    private val wIsLit: Boolean = right.isInstanceOf[Literal]
+    private val wLitVal: Long   = if (wIsLit) weightAsLong(right.asInstanceOf[Literal].value) else 0L
+
+    @inline def item(input: InternalRow): UTF8String =
+      if (itemOrd >= 0) {
+        if (input.isNullAt(itemOrd)) null else input.getUTF8String(itemOrd)
+      } else left.eval(input).asInstanceOf[UTF8String]
+
+    @inline def weight(input: InternalRow): Long =
+      if (wIsLit) wLitVal
+      else if (wOrd >= 0) { if (input.isNullAt(wOrd)) 0L else input.getLong(wOrd) }
+      else weightAsLong(right.eval(input))
+  }
+
   def toArrayData(buffer: Sketch, emitK: Int): ArrayData = {
     val top = buffer.sortedSlice
     val n   = math.min(emitK, top.length)
@@ -87,8 +120,15 @@ case class TokensTopKAgg(
 
   override def createAggregationBuffer(): Sketch = new Sketch(cfg)
 
+  @transient private lazy val tokOrd: Int = child match {
+    case b: BoundReference => b.ordinal
+    case _                 => -1
+  }
+
   override def update(buffer: Sketch, input: InternalRow): Sketch = {
-    val v = child.eval(input)
+    val v =
+      if (tokOrd >= 0) { if (input.isNullAt(tokOrd)) null else input.getArray(tokOrd) }
+      else child.eval(input)
     if (v != null) {
       val arr = v.asInstanceOf[ArrayData]
       val n   = arr.numElements()
@@ -137,13 +177,12 @@ case class ItemsTopKAgg(
 
   override def createAggregationBuffer(): Sketch = new Sketch(cfg)
 
+  @transient private lazy val reader = new TopKResult.ItemWeightReader(left, right)
+
   override def update(buffer: Sketch, input: InternalRow): Sketch = {
-    val item = left.eval(input)
-    if (item != null) {
-      val w = TopKResult.weightAsLong(right.eval(input))
-      val u = item.asInstanceOf[UTF8String]
-      buffer.addUnsafe(u.getBaseObject, u.getBaseOffset, u.numBytes, w)
-    }
+    val u = reader.item(input)
+    if (u != null)
+      buffer.addUnsafe(u.getBaseObject, u.getBaseOffset, u.numBytes, reader.weight(input))
     buffer
   }
 
@@ -182,13 +221,12 @@ case class SketchBytesAgg(
 
   override def createAggregationBuffer(): Sketch = new Sketch(cfg)
 
+  @transient private lazy val reader = new TopKResult.ItemWeightReader(left, right)
+
   override def update(buffer: Sketch, input: InternalRow): Sketch = {
-    val item = left.eval(input)
-    if (item != null) {
-      val w = TopKResult.weightAsLong(right.eval(input))
-      val u = item.asInstanceOf[UTF8String]
-      buffer.addUnsafe(u.getBaseObject, u.getBaseOffset, u.numBytes, w)
-    }
+    val u = reader.item(input)
+    if (u != null)
+      buffer.addUnsafe(u.getBaseObject, u.getBaseOffset, u.numBytes, reader.weight(input))
     buffer
   }
 
