@@ -294,6 +294,38 @@ object SparkEntry {
           col("rank").cast("long").as("rank"), col("item"), col("count"))
     }),
 
+    // Streaming SESSION windows end-to-end (completes the window triad's
+    // driver verification): per-user activity sessions (1h gap) merge in the
+    // streaming aggregation's state store; a session emits exactly once, when
+    // the watermark passes session_end. Sessions still open at end-of-input
+    // stay in the state store (oracle keeps only session_end <= max ts).
+    // NOTE: session_window's boundary convention — an event exactly `gap`
+    // after its predecessor starts a NEW session — differs from the batch
+    // aggregateGap query; the oracle breaks on >= accordingly.
+    "topk_stream_sessions" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = events(s, dir).schema
+      requireUtc(s)
+      val src = s.readStream.schema(schema).parquet(streamSourceDir(dir).toString)
+        .select(col("user_id").cast("long").as("key"),
+          col("ts").cast("timestamp").as("ts"),
+          col("event_type").as("item"), lit(1L).as("weight"))
+      val out = graft.streaming.TopKStreams.session(
+        src, gap = "1 hour", watermarkDelay = "0 seconds",
+        SketchConfig.withDefaults(k = 2, width = 256, depth = 3))
+      val name = s"stream_sessions_${System.nanoTime()}"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name)
+        .select(col("key").as("user_id"),
+          col("session_start").cast("timestamp_ntz").as("session_start"),
+          col("session_end").cast("timestamp_ntz").as("session_end"),
+          col("rank"), col("item"), col("count"))
+    }),
+
     // membership surface: Query(item) as a semi-join against the top-K
     // (reference: sketch.go:172-175)
     "topk_query_membership" -> ((s, dir) => {
@@ -587,6 +619,42 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY tick ORDER BY count DESC, item) AS rank
            FROM win)
          SELECT tick, rank, item, count FROM r WHERE rank <= 3 ORDER BY tick, rank""",
+
+    // streaming sessions use Spark's session_window convention (an event at
+    // exactly prev + gap STARTS a new session -> break on >=), and only
+    // sessions the final watermark (= max ts, delay 0) has closed emit
+    "topk_stream_sessions" ->
+      """WITH o AS (
+           SELECT user_id, ts, event_type,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 1 HOUR
+                       THEN 1 ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (
+           SELECT user_id, ts, event_type,
+                  sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess
+           FROM o),
+         g AS (
+           SELECT user_id, sess, ts, event_type,
+                  min(ts) OVER (PARTITION BY user_id, sess) AS session_start,
+                  max(ts) OVER (PARTITION BY user_id, sess)
+                    + INTERVAL 1 HOUR AS session_end
+           FROM s),
+         c AS (
+           SELECT user_id, sess, session_start, session_end,
+                  event_type AS item, count(*) AS count
+           FROM g GROUP BY user_id, sess, session_start, session_end, event_type),
+         r AS (
+           SELECT user_id, session_start, session_end, item, count,
+                  row_number() OVER (PARTITION BY user_id, sess
+                                     ORDER BY count DESC, item) AS rank
+           FROM c)
+         SELECT user_id, session_start, session_end, rank, item, count
+         FROM r WHERE rank <= 2
+           AND session_end <= (SELECT max(ts) FROM events)
+         ORDER BY user_id, session_start, rank""",
 
     "topk_query_membership" ->
       """WITH topk AS (
