@@ -176,11 +176,16 @@ object SparkEntry {
         emb.where(col("vec_id") < 5), col("vec_id"), col("embedding"), k = 10)
     }),
 
-    // LSH-blocked ANN: hyperplane signatures, width-2 band equality join +
-    // exact rerank. Parameters pinned for empirical recall 1 vs the exact
-    // oracle at the verification SFs (all 50 true top-10 neighbors share a
-    // band at sf0.01 AND sf0.1 — checked against the deterministic signature
-    // function; rerank ordering is exact, so output == exact top-K)
+    // LSH-blocked ANN — CORRECTNESS PLUMBING, not the scale configuration.
+    // The testdata embeddings are isotropic noise (pairwise cos ~ 0), where
+    // hyperplane banding is mathematically non-selective; recall 1 vs the
+    // exact oracle here forces width-2 bands, which admit ~every pair (the
+    // plan degenerates to brute force with banding overhead). It verifies the
+    // signature/band/rerank pipeline end-to-end. The SELECTIVE regime —
+    // clustered data, width-8 bands, candidates ~5% of n²/2 at recall ~1 —
+    // is asserted in TrainingOpsSpec ("selective LSH configuration"); at
+    // scale use bands ~= nBits/8 on corpora with real neighbor structure, or
+    // ivfCosineTopK / nearDupPairsBlocked when there is none.
     "ann_cosine_topk_lsh" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       graft.operators.Similarity.lshCosineTopK(
@@ -189,9 +194,12 @@ object SparkEntry {
         k = 10, nBits = 64, bands = 32)
     }),
 
-    // LSH-blocked near-dup pairs at a threshold where hyperplane banding IS
-    // selective (0.5); bands=16 (width 4) pinned for empirical recall 1 at
-    // sf0.01 and sf0.1 (every exact pair >= 0.5 shares a band)
+    // LSH-blocked near-dup pairs — CORRECTNESS PLUMBING (same caveat as
+    // ann_cosine_topk_lsh): width-4 bands give recall 1 on this corpus but a
+    // random pair still collides in >=1 band w.p. ~64%, near all-pairs. The
+    // selective parameterization on clustered data is asserted in
+    // TrainingOpsSpec; this entry verifies the banded self-join + exact
+    // verify pipeline against the exact oracle.
     "embedding_near_dups_lsh" -> ((s, dir) =>
       graft.operators.Similarity.nearDupPairs(
         s.read.parquet(s"$dir/embeddings.parquet"), col("vec_id"), col("embedding"),

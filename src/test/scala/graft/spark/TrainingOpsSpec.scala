@@ -103,6 +103,64 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(ivf == exact)
   }
 
+  test("selective LSH configuration: few candidates AND high recall on clustered data") {
+    // The 100 TB LSH story (the driver's recall-1 LSH entries are correctness
+    // plumbing on isotropic noise, where hyperplane banding cannot be
+    // selective). Here: clustered corpus (the regime LSH is FOR), width-8
+    // bands (nBits=64, bands=8 — scale-credible parameters), asserting BOTH
+    //   (a) candidate pairs are a small fraction of n²/2 — the join does far
+    //       less work than all-pairs, and
+    //   (b) recall >= 0.95 vs exact for near-dup pairs AND query top-K.
+    // Math: within-cluster pairs (cos ~ 0.995, theta ~ 0.1 rad) collide per
+    // band w.p. (1 - theta/pi)^8 ~ 0.77 => >=1-of-8 bands ~ 0.9999; random
+    // cross-cluster pairs collide per band w.p. 0.5^8 => >=1 band ~ 3%.
+    val rng  = new java.util.Random(23)
+    val nClusters = 24
+    val dirs = Array.fill(nClusters)(Array.fill(16)(rng.nextGaussian().toFloat))
+    val n    = 240L
+    val corpus = (0L until n).map { i =>
+      val d = dirs((i % nClusters).toInt)
+      (i, d.zip(Array.fill(16)(rng.nextGaussian().toFloat * 0.05f)).map { case (a, b) => a + b })
+    }.toDF("vec_id", "embedding")
+
+    // (a) candidate selectivity of the (nBits=64, bands=8) banding itself
+    val bands = 8; val width = 8; val mask = (1L << width) - 1
+    val banded = corpus
+      .withColumn("sig", Similarity.hyperplaneSignature(64)($"embedding"))
+      .select($"vec_id", posexplode(array((0 until bands).map(q =>
+        shiftright($"sig", q * width).bitwiseAND(lit(mask))): _*)).as(Seq("band", "block")))
+    val candidates = banded.as("l")
+      .join(banded.as("r"),
+        $"l.band" === $"r.band" && $"l.block" === $"r.block" && $"l.vec_id" < $"r.vec_id")
+      .select($"l.vec_id", $"r.vec_id").distinct().count()
+    val allPairs = n * (n - 1) / 2
+    val ratio    = candidates.toDouble / allPairs
+    assert(ratio < 0.15, s"banding not selective: $candidates of $allPairs pairs ($ratio)")
+
+    // (b1) near-dup recall vs exact at threshold 0.9 (true pairs = cluster-mates)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactPairs = pairSet(Similarity.nearDupPairsBlocked(
+      corpus, $"vec_id", $"embedding", threshold = 0.9, nBlocks = 4))
+    val lshPairs = pairSet(Similarity.nearDupPairs(
+      corpus, $"vec_id", $"embedding", threshold = 0.9, nBits = 64, bands = 8))
+    assert(exactPairs.nonEmpty)
+    val pairRecall = exactPairs.intersect(lshPairs).size.toDouble / exactPairs.size
+    assert(pairRecall >= 0.95, s"near-dup recall=$pairRecall (${exactPairs.size} true pairs)")
+    assert(lshPairs.subsetOf(exactPairs), "exact verify must not admit false pairs")
+
+    // (b2) query top-K recall vs exact with the same selective banding
+    val queries = corpus.where($"vec_id" < 5)
+    def nbrSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactTop = nbrSet(Similarity.cosineTopK(corpus, $"vec_id", $"embedding",
+      queries, $"vec_id", $"embedding", 9))
+    val lshTop = nbrSet(Similarity.lshCosineTopK(corpus, $"vec_id", $"embedding",
+      queries, $"vec_id", $"embedding", 9, nBits = 64, bands = 8))
+    val topRecall = exactTop.intersect(lshTop).size.toDouble / exactTop.size
+    assert(topRecall >= 0.95, s"top-K recall=$topRecall")
+  }
+
   test("embedding near-dup pairs via hyperplane LSH") {
     val v    = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
     val vEps = v.clone(); vEps(0) = v(0) + 0.01f
