@@ -35,54 +35,100 @@ object StreamBench {
     // ---- tumbling: windowed TokensTopKAgg straight over the doc stream ----
     // (array-native aggregate inside a streaming window aggregation; fully
     // partition-parallel with map-side partials in the state store)
-    val t0 = System.nanoTime()
-    val tumbling = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 16).parquet(dir)
-      .withWatermark("ts", "0 seconds")
-      .groupBy(window(col("ts"), "1 hour"))
-      .agg(TopKAggregates.tokensTopK(col("tokens"),
-        SketchConfig.withDefaults(40, width = 1024, depth = 3), 10).as("topk"))
-    val q1 = tumbling.writeStream.format("parquet")
-      .option("path", s"$base/tumb_out").option("checkpointLocation", s"$base/tumb_ckpt")
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q1.awaitTermination()
-    val tumbSec = (System.nanoTime() - t0) / 1e9
+    def runTumbling(rep: Int): Double = {
+      val t0 = System.nanoTime()
+      val tumbling = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 16).parquet(dir)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(TopKAggregates.tokensTopK(col("tokens"),
+          SketchConfig.withDefaults(40, width = 1024, depth = 3), 10).as("topk"))
+      val q1 = tumbling.writeStream.format("parquet")
+        .option("path", s"$base/tumb_out_$rep")
+        .option("checkpointLocation", s"$base/tumb_ckpt_$rep")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q1.awaitTermination()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // ---- sliding: flatMapGroupsWithState state machines, 1..N keys ----
+    // nKeys=1 is the per-key sequential floor (one state machine); the
+    // multi-key runs measure the scale-out claim directly — independent keys
+    // (key = doc bucket) parallelize across cores exactly as they would
+    // across executors, and per-key state stays bounded (ring + pending).
+    def runSliding(nKeys: Int, rep: Int): (Double, Long, Long, Long, Long) = {
+      val keyCol =
+        if (nKeys <= 1) lit("global")
+        else pmod(xxhash64(col("doc_id")), lit(nKeys)).cast("string")
+      val updates = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 16).parquet(dir)
+        .select(keyCol.as("key"), col("ts"), explode(col("tokens")).as("tok"))
+        .select(col("key"), col("ts"), col("tok").cast("string").as("item"), lit(1L).as("weight"))
+      val t1 = System.nanoTime()
+      val q = graft.streaming.TopKStreams.sliding(updates, tickMillis = 3600000L,
+          watermarkDelay = "0 seconds",
+          cfg = SlidingConfig.withDefaults(20, 6, width = 1024, depth = 3), emitK = 10)
+        .writeStream.format("parquet")
+        .option("path", s"$base/slide_out_${nKeys}_$rep")
+        .option("checkpointLocation", s"$base/slide_ckpt_${nKeys}_$rep")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val sec = (System.nanoTime() - t1) / 1e9
+      // peak state-store footprint across batches (keys drain at end-of-input,
+      // so the LAST progress understates steady-state)
+      val stateRows = q.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal))
+        .foldLeft(0L)(math.max)
+      val stateBytes = q.recentProgress.flatMap(_.stateOperators.map(_.memoryUsedBytes))
+        .foldLeft(0L)(math.max)
+      val outRows = spark.read.parquet(s"$base/slide_out_${nKeys}_$rep").count()
+      ((sec, (nTokens / sec).toLong, outRows, stateRows, stateBytes))
+    }
+
+    // min-of-2 with INTERLEAVED reps (a contended window hits one full pass,
+    // not one config — see BENCH.md "host variance"); rep 1 doubles as warmup
+    val keyCounts = Seq(1, 32, 256)
+    val passes = (1 to 2).map { rep =>
+      (runTumbling(rep), keyCounts.map(k => runSliding(k, rep)))
+    }
+    val tumbSec = passes.map(_._1).min
     val tumbTps = (nTokens / tumbSec).toLong
+    val slideRuns = keyCounts.zipWithIndex.map { case (k, i) =>
+      k -> passes.map(_._2(i)).minBy(_._1)
+    }
 
-    // ---- sliding: single-key flatMapGroupsWithState state machine ----
-    // (the per-key sequential path; measures one sliding window's state
-    // machine; scale-out comes from independent keys)
-    val updates = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 16).parquet(dir)
-      .select(lit("global").as("key"), col("ts"), explode(col("tokens")).as("tok"))
-      .select(col("key"), col("ts"), col("tok").cast("string").as("item"), lit(1L).as("weight"))
-    val t1 = System.nanoTime()
-    val q2 = graft.streaming.TopKStreams.sliding(updates, tickMillis = 3600000L,
-        watermarkDelay = "0 seconds",
-        cfg = SlidingConfig.withDefaults(20, 6, width = 1024, depth = 3), emitK = 10)
-      .writeStream.format("parquet")
-      .option("path", s"$base/slide_out").option("checkpointLocation", s"$base/slide_ckpt")
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q2.awaitTermination()
-    val slideSec = (System.nanoTime() - t1) / 1e9
-    val slideTps = (nTokens / slideSec).toLong
+    val outRows1 = spark.read.parquet(s"$base/tumb_out_1").count()
 
-    val outRows1 = spark.read.parquet(s"$base/tumb_out").count()
-    val outRows2 = spark.read.parquet(s"$base/slide_out").count()
-
+    // NOTE: generated AFTER stripMargin (the row strings start with the
+    // table pipe, which stripMargin would eat)
+    val slideRows = slideRuns.map { case (k, (sec, tps, rows, srows, sbytes)) =>
+      f"| sliding 6x1h ticks, $k%d key(s) | $sec%.1f | $tps%d | $rows%d | $srows%d | ${sbytes / 1024}%d KB |"
+    }.mkString("\n")
     val md =
       f"""
          |## Streaming throughput (file-stream source -> exactly-once parquet sink)
          |
          |Input: the same $nTokens%d-token table ($nDocs%d docs, ts = 1 doc/s),
          |Trigger.AvailableNow, maxFilesPerTrigger=16 (multi-batch),
-         |local[$cpus%s].
+         |local[$cpus%s]. Sliding key = hash bucket of doc_id (independent
+         |per-key state machines).
          |
-         || engine | wall sec | tokens/s | output rows |
-         ||---|---|---|---|
-         || tumbling 1h windows (array-native agg in streaming state) | $tumbSec%.1f | $tumbTps%d | $outRows1%d |
-         || sliding 6x1h ticks, ONE key (single state machine; scale-out = independent keys) | $slideSec%.1f | $slideTps%d | $outRows2%d |
-         |""".stripMargin
+         || engine | wall sec | tokens/s | output rows | peak state rows | peak state mem |
+         ||---|---|---|---|---|---|
+         || tumbling 1h windows (array-native agg in streaming state) | $tumbSec%.1f | $tumbTps%d | $outRows1%d | - | - |
+         |""".stripMargin + slideRows +
+      f"""
+        |
+        |Multi-key sliding reading (min-of-2, reps interleaved across
+        |configs): 1 -> 32 keys speeds up ${slideRuns.head._2._1 / slideRuns(1)._2._1}%.2fx,
+        |1 -> 256 keys ${slideRuns.head._2._1 / slideRuns(2)._2._1}%.2fx. The per-key state
+        |machines parallelize (more keys = more concurrent state tasks), but
+        |the shared row pipeline (explode -> tuple encoding -> groupByKey
+        |shuffle) bounds the gain on one box — that stage is partition-
+        |parallel and scales with cores/executors independent of key count.
+        |Peak state grows linearly with keys (bounded ring + pending buffer
+        |per key, as designed). The per-key ring compute itself thread-scales
+        |at 0.93 (8->16, pure-JVM ThreadScale probe).
+        |""".stripMargin
     Files.writeString(Paths.get("BENCH.md"),
       Files.readString(Paths.get("BENCH.md")) + md)
     println(md)
