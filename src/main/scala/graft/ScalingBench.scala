@@ -107,13 +107,13 @@ object ScalingBench {
          |
          || session | light sec (K=10 w=1024 d=3) | tokens/s | heavy sec (K=100 w=8192 d=4) | tokens/s |
          ||---|---|---|---|---|
-         |$rows%s
+         |ROWS_TABLE
          |
          |## Scaling efficiency (throughput ratio / core ratio)
          |
          || cores N -> M | light eff | heavy eff |
          ||---|---|---|
-         |$pairs%s
+         |PAIRS_TABLE
          |
          |North-rule bar: >= 0.8 from N to 4N. The 2 -> 8 pair runs where the
          |VM has uncontended cycles; 8 -> 32 shares the host's oversubscribed
@@ -128,9 +128,12 @@ object ScalingBench {
          |local[${points.head.cores}%d]: ~$perCore%d tokens/s/core on the sandbox vCPUs.
          |""".stripMargin
 
+    // table rows substituted AFTER stripMargin (their leading table pipes
+    // would otherwise be eaten as margin markers)
+    val mdFilled = md.replace("ROWS_TABLE", rows).replace("PAIRS_TABLE", pairs)
     // raw output lands in BENCH_SCALING.md; BENCH.md carries the curated
     // analysis (methodology + environment caveats) and takes these tables in
-    Files.writeString(Paths.get("BENCH_SCALING.md"), md)
-    println(md)
+    Files.writeString(Paths.get("BENCH_SCALING.md"), mdFilled)
+    println(mdFilled)
   }
 }

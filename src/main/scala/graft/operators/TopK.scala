@@ -47,15 +47,35 @@ object TopK {
 
   /** Token top-K straight off the `array<int>` column — no explode stage;
     * the HK loop runs inside the aggregate over each sequence row (the
-    * 100 TB-shape plan: scan -> per-partition sketch -> merge).
+    * 100 TB-shape plan: scan -> per-partition sketch -> TREE merge).
+    *
+    * The union is two-level: scan tasks emit one partial blob each (map-side
+    * combine as before), the blobs hash to `mergeFanIn` intermediate union
+    * tasks, and the final task unions only `mergeFanIn` blobs. A single-level
+    * merge makes the final task O(#partitions) serial decode+union work —
+    * ~2-4 ms per wide-geometry blob, which is an Amdahl tail at local[32]
+    * with ~850 splits and fatal at 100 TB (10⁵-10⁶ splits would funnel
+    * hundreds of GB of blobs through one task). `mergeFanIn <= 1` selects
+    * the old single-level plan (useful for small inputs / diagnostics).
     */
   def tokensArray(df: DataFrame, tokens: Column, cfg: SketchConfig,
-                  oversample: Int = 4): DataFrame =
-    df.agg(graft.plans.TopKAggregates.tokensTopK(
-        tokens, cfg.copy(k = cfg.k * math.max(1, oversample)), cfg.k).as("topk"))
-      .select(explode(col("topk")).as("e"))
-      .select(col("e.item"), col("e.count"), col("e.fingerprint"))
-      .orderBy(col("count").desc, col("item").asc)
+                  oversample: Int = 4, mergeFanIn: Int = 64): DataFrame = {
+    import graft.plans.TopKAggregates
+    val bufCfg = cfg.copy(k = cfg.k * math.max(1, oversample))
+    if (mergeFanIn <= 1) {
+      df.agg(TopKAggregates.tokensTopK(tokens, bufCfg, cfg.k).as("topk"))
+        .select(explode(col("topk")).as("e"))
+        .select(col("e.item"), col("e.count"), col("e.fingerprint"))
+        .orderBy(col("count").desc, col("item").asc)
+    } else {
+      df.groupBy(pmod(spark_partition_id(), lit(mergeFanIn)).as("_g"))
+        .agg(TopKAggregates.tokensSketchBytes(tokens, bufCfg).as("blob"))
+        .agg(TopKAggregates.mergeBlobs(col("blob")).as("m"))
+        .select(explode(TopKAggregates.sketchRows(col("m"), lit(cfg.k))).as("e"))
+        .select(col("e.item"), col("e.count"), col("e.fingerprint"))
+        .orderBy(col("count").desc, col("item").asc)
+    }
+  }
 
   /** Per-group top-K: one top-K list per value of `groupCols` (e.g. a
     * tumbling `window($"ts", ...)` column, a `source` dimension, or both).

@@ -159,6 +159,64 @@ case class TokensTopKAgg(
     copy(child = newChild)
 }
 
+/** Array-native token aggregate emitting the serialized sketch BLOB instead
+  * of rows — the level-1 stage of the tree merge (TopK.tokensArray): at scale
+  * a single final task cannot union 10⁵⁺ partial sketches (an O(partitions)
+  * serial tail, ~400 KB decode each for wide geometries); grouping partials
+  * into `fanIn` intermediate unions keeps every merge task O(partitions /
+  * fanIn) and the final task O(fanIn).
+  */
+case class TokensSketchBytesAgg(
+    child: Expression,
+    cfg: SketchConfig,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends TypedImperativeAggregate[Sketch] with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"topk_tokens_sketch requires ARRAY<INT> tokens, got ${other.catalogString}")
+  }
+
+  override def createAggregationBuffer(): Sketch = new Sketch(cfg)
+
+  @transient private lazy val tokOrd: Int = child match {
+    case b: BoundReference => b.ordinal
+    case _                 => -1
+  }
+
+  override def update(buffer: Sketch, input: InternalRow): Sketch = {
+    val v =
+      if (tokOrd >= 0) { if (input.isNullAt(tokOrd)) null else input.getArray(tokOrd) }
+      else child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      val n   = arr.numElements()
+      var i   = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) buffer.addToken(arr.getInt(i), 1L)
+        i += 1
+      }
+    }
+    buffer
+  }
+
+  override def merge(buffer: Sketch, other: Sketch): Sketch = buffer.merge(other)
+  override def eval(buffer: Sketch): Any                    = SketchCodec.encode(buffer)
+  override def serialize(buffer: Sketch): Array[Byte]       = SketchCodec.encode(buffer)
+  override def deserialize(bytes: Array[Byte]): Sketch      = SketchCodec.decode(bytes)
+  override def dataType: DataType                           = BinaryType
+  override def nullable: Boolean                            = false
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TokensSketchBytesAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TokensSketchBytesAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): TokensSketchBytesAgg =
+    copy(child = newChild)
+}
+
 /** Top-K over generic (item string, weight long) updates — InternalRow-native
   * replacement for the udaf path. Hashes the UTF8String's bytes; the heap's
   * String key materializes only on admitted updates (memoized per buffer).
@@ -256,6 +314,13 @@ object TopKAggregates {
     Bridge.column(
       ItemsTopKAgg(Bridge.expression(item), Bridge.expression(weight),
         cfg, emitK).toAggregateExpression())
+
+  /** `agg(tokensSketchBytes($"tokens", cfg))` — array-native token partial
+    * emitting the sketch blob (tree-merge level 1).
+    */
+  def tokensSketchBytes(tokens: Column, cfg: SketchConfig): Column =
+    Bridge.column(
+      TokensSketchBytesAgg(Bridge.expression(tokens), cfg).toAggregateExpression())
 
   /** `agg(sketchBytes($"item", $"weight", cfg))` — emit the sketch blob. */
   def sketchBytes(item: Column, weight: Column, cfg: SketchConfig): Column =

@@ -76,6 +76,30 @@ class TopKAggregatorSpec extends AnyFunSuite {
     ))
   }
 
+  test("tokensArray tree merge equals single-level merge (collision-free)") {
+    // token sequences over 80 distinct tokens, width 2048 -> collision-free:
+    // the union is an exact sum regardless of merge topology, so the tree
+    // (fanIn intermediate unions) must reproduce the flat plan bit-for-bit.
+    // Token t appears in docs divisible by t+1 -> count(t) ~ 500/(t+1):
+    // DISTINCT counts in the top region (equal-count ties at the bounded
+    // heap's boundary may legitimately survive differently per topology)
+    val rows = (0 until 500).map { i =>
+      (i.toLong, (0 until 80).filter(t => i % (t + 1) == 0).toArray)
+    }
+    val df  = rows.toDF("doc_id", "tokens").repartition(16)
+    val cfg = SketchConfig.withDefaults(10, width = 2048, depth = 3)
+    def res(fanIn: Int) =
+      TopK.tokensArray(df, col("tokens"), cfg, mergeFanIn = fanIn)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val flat = res(1)
+    assert(flat.nonEmpty && flat == res(4) && flat == res(64))
+    // counts are exact: compare against a plain explode + groupBy oracle
+    val exact = df.select(explode(col("tokens")).as("t")).groupBy("t").count()
+      .orderBy(col("count").desc, col("t").asc).limit(10)
+      .collect().map(r => (r.getInt(0).toString, r.getLong(1))).toSeq
+    assert(flat.map(e => (e._1, e._2)) == exact)
+  }
+
   test("sketch-blob aggregator + count/query UDFs (Count/Query surface)") {
     val df  = Seq(("X", 5L), ("Y", 3L), ("Z", 2L)).toDF("item", "weight")
     val cfg = SketchConfig.withDefaults(2, width = 256, depth = 3)
