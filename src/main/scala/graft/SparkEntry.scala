@@ -128,7 +128,7 @@ object SparkEntry {
     "topk_count_lookup" -> ((s, dir) => {
       val ev   = events(s, dir)
       val blob = ev.select(col("event_type").as("item"))
-        .agg(TopK.sketchUdafFor(cfgWide)(col("item"), lit(1L)).as("sk"))
+        .agg(graft.plans.TopKAggregates.sketchBytes(col("item"), lit(1L), cfgWide).as("sk"))
       val items = ev.select(col("event_type").as("item")).distinct()
       items.crossJoin(broadcast(blob))
         .select(col("item"), TopK.countColumn(col("sk"), col("item")).as("count"))

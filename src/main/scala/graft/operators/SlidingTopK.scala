@@ -60,7 +60,8 @@ object SlidingTopK {
     )
     val perTickSketch = updates
       .groupBy(col("tick"))
-      .agg(TopK.sketchUdafFor(cfg)(col("item"), col("weight")).as("sketch"))
+      .agg(graft.plans.TopKAggregates.sketchBytes(
+        col("item"), col("weight"), cfg).as("sketch"))
 
     // Each source tick s contributes to output ticks [s, s+N-1]: explode the
     // contribution range (N-fold duplication of fixed-size blobs, LINEAR in

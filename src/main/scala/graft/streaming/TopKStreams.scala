@@ -46,7 +46,7 @@ object TopKStreams {
     updates
       .withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), windowDuration))
-      .agg(TopK.udafFor(cfg, oversample)(col("item"), col("weight")).as("topk"))
+      .agg(TopK.topkColumn(col("item"), col("weight"), cfg, oversample).as("topk"))
       .select(col("window"), posexplode(col("topk")).as(Seq("rank0", "e")))
       .select(col("window"), (col("rank0") + 1).cast("long").as("rank"),
         col("e.item"), col("e.count"), col("e.fingerprint"))
@@ -71,7 +71,7 @@ object TopKStreams {
     updates
       .withWatermark("ts", watermarkDelay)
       .groupBy(col("key"), session_window(col("ts"), gap))
-      .agg(TopK.udafFor(cfg, oversample)(col("item"), col("weight")).as("topk"))
+      .agg(TopK.topkColumn(col("item"), col("weight"), cfg, oversample).as("topk"))
       .select(col("key"), col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         posexplode(col("topk")).as(Seq("rank0", "e")))
