@@ -52,10 +52,17 @@ object TopKStreams {
         col("e.item"), col("e.count"), col("e.fingerprint"))
 
   /** Session-window streaming top-K (beyond-reference, completes the window
-    * triad): one sketch per (key, activity session), sessions merge in the
-    * streaming aggregation's state store as events arrive, and a session's
-    * top-K emits exactly once — when the watermark passes `session_end`
-    * (gap after the last event).
+    * triad): one top-K buffer per (key, activity session), sessions merge in
+    * the streaming aggregation's state store as events arrive, and a
+    * session's top-K emits exactly once — when the watermark passes
+    * `session_end` (gap after the last event).
+    *
+    * Uses the ADAPTIVE buffer (exact map below cutoff, sketch above), the
+    * same choice as the batch sessionization path: sessions are the
+    * many-tiny-groups regime, and a full d×w sketch blob per session would
+    * put O(sessions × sketch bytes) through the state store each batch
+    * (measured: ~9 KB/session × 90k live sessions ≈ 800 MB of state churn,
+    * ~24 s at sf0.1 — the adaptive map blobs are a few dozen bytes).
     *
     * @param updates streaming DataFrame with (key, ts timestamp, item string,
     *                weight long)
@@ -67,17 +74,21 @@ object TopKStreams {
       watermarkDelay: String,
       cfg: SketchConfig,
       oversample: Int = 4
-  ): DataFrame =
+  ): DataFrame = {
+    val bufCfg = cfg.copy(k = cfg.k * math.max(1, oversample))
+    val cutoff = math.max(64, bufCfg.k * 4)
     updates
       .withWatermark("ts", watermarkDelay)
       .groupBy(col("key"), session_window(col("ts"), gap))
-      .agg(TopK.topkColumn(col("item"), col("weight"), cfg, oversample).as("topk"))
+      .agg(graft.plans.AdaptiveTopKAgg.adaptive(
+        col("item"), col("weight"), bufCfg, cfg.k, cutoff).as("topk"))
       .select(col("key"), col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         posexplode(col("topk")).as(Seq("rank0", "e")))
       .select(col("key"), col("session_start"), col("session_end"),
         (col("rank0") + 1).cast("long").as("rank"),
         col("e.item"), col("e.count"), col("e.fingerprint"))
+  }
 
   /** Sliding-window streaming top-K over event-time ticks.
     *
