@@ -108,6 +108,51 @@ class StreamResumeSpec extends AnyFunSuite {
       lineageText.nonEmpty)
   }
 
+  test("session stream resumes from checkpoint (adaptive buffers in state store)") {
+    import graft.core.SketchConfig
+    val base = Files.createTempDirectory("graft_sess_resume").toString
+    val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+
+    def run(): Unit = {
+      val input = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in)
+      val q = TopKStreams.session(input, gap = "2 seconds", watermarkDelay = "0 seconds",
+          SketchConfig.withDefaults(k = 2, width = 256, depth = 3))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def rows(ts: Seq[(String, Long, String, Long)]) =
+      ts.map { case (k, sec, item, w) => (k, new Timestamp(sec * 1000L), item, w) }
+        .toDF("key", "ts", "item", "weight").coalesce(1).write.mode("append").parquet(in)
+
+    // run 1: u1 session [1,4) (a:2, b:1) + watermark pusher w@6 closes it
+    rows(Seq(("u1", 1L, "a", 1L), ("u1", 2L, "a", 1L), ("u1", 2L, "b", 1L),
+      ("w", 6L, "x", 1L)))
+    run()
+    val afterRun1 = spark.read.parquet(out).count()
+
+    // run 2 (restart): u1 session [10,13) (c:3); pusher w@20 closes it and w@6's
+    rows(Seq(("u1", 10L, "c", 2L), ("u1", 11L, "c", 1L), ("w", 20L, "y", 1L)))
+    run()
+
+    val got = spark.read.parquet(out)
+      .select(col("key"), col("session_start").cast("long"),
+        col("session_end").cast("long"), col("rank"), col("item"), col("count"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getLong(5))).toSet
+    val expected = Set(
+      ("u1", 1L, 4L, 1L, "a", 2L), ("u1", 1L, 4L, 2L, "b", 1L),
+      ("w", 6L, 8L, 1L, "x", 1L),
+      ("u1", 10L, 13L, 1L, "c", 3L))
+    assert(got == expected, s"got=$got")
+    assert(afterRun1 < expected.size, "run 1 must emit only the closed prefix")
+
+    // run 3: restart with no new data — idempotent
+    run()
+    assert(spark.read.parquet(out).count() == expected.size)
+  }
+
   test("metrics listener captures per-batch input rows and state size") {
     val base = Files.createTempDirectory("graft_metrics").toString
     val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
