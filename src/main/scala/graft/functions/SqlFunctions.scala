@@ -123,6 +123,16 @@ object SqlFunctions {
         .toAggregateExpression()
     },
 
+    // array-native token partial emitting the blob — the SQL handle for
+    // tree-merged token pipelines: GROUP BY pmod(spark_partition_id(), N)
+    // -> topk_tokens_sketch -> topk_merge -> topk_rows
+    "topk_tokens_sketch" -> { args =>
+      require(args.length >= 2 && args.length <= 5,
+        "usage: topk_tokens_sketch(tokens_array, k[, width, depth[, decay]])")
+      graft.plans.TokensSketchBytesAgg(args.head, cfgFrom(args, 1))
+        .toAggregateExpression()
+    },
+
     "topk_merge" -> { args =>
       require(args.length == 1, "usage: topk_merge(sketch_blob)")
       graft.plans.MergeSketchBlobsAgg(args.head).toAggregateExpression()

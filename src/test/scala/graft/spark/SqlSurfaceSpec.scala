@@ -14,8 +14,8 @@ class SqlSurfaceSpec extends AnyFunSuite {
     SqlFunctions.register(spark)
     val names = SqlFunctions.builders.map(_._1)
     assert(names.toSet == Set("topk_tokens", "topk_items", "topk_items_adaptive",
-      "topk_sliding", "xxh32", "topk_sketch", "topk_merge", "topk_rows",
-      "topk_count", "topk_query"))
+      "topk_sliding", "xxh32", "topk_sketch", "topk_tokens_sketch", "topk_merge",
+      "topk_rows", "topk_count", "topk_query"))
     names.foreach { n =>
       assert(spark.sessionState.functionRegistry
         .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(n)), n)
@@ -115,6 +115,27 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(r.getBoolean(1))
     assert(!r.getBoolean(2))
     assert(r.getString(3) == "a")
+  }
+
+  test("SQL tree-merge composition: topk_tokens_sketch -> topk_merge -> topk_rows") {
+    val rows = (0 until 200).map(i => (i, (0 until 40).filter(t => i % (t + 1) == 0).toArray))
+    rows.toDF("i", "tokens").repartition(8).createOrReplaceTempView("tree_t")
+    val tree = spark.sql(
+      """WITH p AS (SELECT pmod(spark_partition_id(), 4) g,
+        |                  topk_tokens_sketch(tokens, 20, 1024, 3) b
+        |           FROM tree_t GROUP BY 1),
+        |m AS (SELECT topk_merge(b) mb FROM p)
+        |SELECT e.item, e.count FROM m
+        |LATERAL VIEW explode(topk_rows(mb, 5)) t AS e
+        |ORDER BY e.count DESC, e.item""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val flat = spark.sql(
+      """SELECT e.item, e.count FROM
+        |(SELECT topk_tokens(tokens, 5, 1024, 3) a FROM tree_t) t0
+        |LATERAL VIEW explode(a) t AS e
+        |ORDER BY e.count DESC, e.item""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(tree == flat && tree.head == ("0", 200L))
   }
 
   test("blob decode memo: interleaved distinct blobs never return stale counts") {

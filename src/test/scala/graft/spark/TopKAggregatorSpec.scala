@@ -76,6 +76,27 @@ class TopKAggregatorSpec extends AnyFunSuite {
     ))
   }
 
+  test("statistical: tree merge preserves under-estimation + recall under collisions") {
+    // skewed token stream at a colliding geometry: the tree topology must
+    // keep the HK guarantees (no over-estimation; the heavy head survives)
+    val n   = 50000
+    val rng = new java.util.Random(11)
+    val docs = (0 until n / 25).map { d =>
+      (d.toLong, Array.fill(25) { val u = rng.nextDouble(); (2000 * u * u * u).toInt })
+    }
+    val df  = docs.toDF("doc_id", "tokens").repartition(8)
+    val cfg = SketchConfig.withDefaults(20, width = 1024, depth = 3)
+    val ours = TopK.tokensArray(df, col("tokens"), cfg, mergeFanIn = 4)
+      .select("item", "count").collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val truth = docs.flatMap(_._2).groupBy(t => t.toString).view.mapValues(_.size.toLong).toMap
+    val exactTop = truth.toSeq.sortBy { case (i, c) => (-c, i) }.take(20).map(_._1).toSet
+    ours.foreach { case (item, est) =>
+      assert(est <= truth(item), s"$item over-estimated: $est > ${truth(item)}")
+    }
+    val recall = ours.keySet.intersect(exactTop).size
+    assert(recall >= 18, s"recall@20 = $recall")
+  }
+
   test("tokensArray tree merge equals single-level merge (collision-free)") {
     // token sequences over 80 distinct tokens, width 2048 -> collision-free:
     // the union is an exact sum regardless of merge topology, so the tree
