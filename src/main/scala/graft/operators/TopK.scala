@@ -62,7 +62,14 @@ object TopK {
                   oversample: Int = 4, mergeFanIn: Int = 64): DataFrame = {
     import graft.plans.TopKAggregates
     val bufCfg = cfg.copy(k = cfg.k * math.max(1, oversample))
-    if (mergeFanIn <= 1) {
+    // the tree pays one extra stage barrier (~0.1 s); it wins when the final
+    // task would otherwise union far more than fanIn partials (2-4 ms decode
+    // each), i.e. when the scan has many partitions. Below ~2x fanIn the
+    // flat plan's single merge of <= 2*fanIn blobs is cheaper. Partition
+    // count comes from the physical scan split planning (no data read).
+    val effFanIn =
+      if (mergeFanIn > 1 && df.rdd.getNumPartitions <= mergeFanIn * 2) 1 else mergeFanIn
+    if (effFanIn <= 1) {
       df.agg(TopKAggregates.tokensTopK(tokens, bufCfg, cfg.k).as("topk"))
         .select(explode(col("topk")).as("e"))
         .select(col("e.item"), col("e.count"), col("e.fingerprint"))
