@@ -181,6 +181,14 @@ object SparkEntry {
       documents(s, dir).select(col("doc_id"),
         graft.operators.TextAnalysis.lengthFingerprint(col("text")).as("fp"))),
 
+    // token counting, both ways the brief lists: whitespace tokens and the
+    // GPT-2-style BPE-ish regex pre-tokenization (RE2-safe pattern so the
+    // DuckDB oracle evaluates it identically)
+    "text_token_counts" -> ((s, dir) =>
+      documents(s, dir).select(col("doc_id"),
+        size(graft.operators.TextAnalysis.tokens(col("text"))).cast("long").as("n_ws"),
+        graft.operators.TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"))),
+
     "ann_cosine_topk" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       graft.operators.Similarity.cosineTopK(
@@ -502,6 +510,15 @@ object SparkEntry {
                       list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0),
                       w -> CAST(len(w) + 1 AS BIGINT))),
                   (acc, x) -> (acc * 31 + x) % 2147483647) AS fp
+         FROM documents""",
+
+    "text_token_counts" ->
+      """SELECT doc_id,
+                len(list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0))::BIGINT AS n_ws,
+                len(list_filter(
+                  regexp_extract_all(text,
+                    '''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+'),
+                  t -> NOT regexp_matches(t, '^\s+$')))::BIGINT AS n_bpe
          FROM documents""",
 
     "ann_cosine_topk" ->

@@ -55,6 +55,24 @@ object TextAnalysis {
       .drop("toks")
   }
 
+  /** GPT-2-style ("BPE-ish") pre-tokenization pattern: contraction suffixes,
+    * letter runs, digit runs, punctuation runs — each optionally absorbing a
+    * leading space — plus residual whitespace runs. Deliberately restricted
+    * to a syntax both java.util.regex (Spark) and RE2 (DuckDB oracle)
+    * evaluate identically: no lookarounds, no unicode classes. The real
+    * GPT-2 pattern's `\s+(?!\S)` lookahead is dropped; residual whitespace
+    * matches are filtered out of the count instead.
+    */
+  final val BpeTokenPattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+|\\s+"
+
+  /** BPE-ish token count: matches of [[BpeTokenPattern]] that are not pure
+    * whitespace. Column-expression only (codegen'd regexp_extract_all).
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(filter(regexp_extract_all(text, lit(BpeTokenPattern), lit(0)),
+      t => !t.rlike("^\\s+$"))).cast("long")
+
   /** Deterministic rolling-hash document fingerprint over token lengths:
     * acc = (acc * 31 + len(token) + 1) mod 2^31-1 — a classic polynomial
     * rolling hash, chosen over token *contents* so the identical recurrence
