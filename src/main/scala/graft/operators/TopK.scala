@@ -36,14 +36,34 @@ object TopK {
     * Output: (item string, count long, fingerprint long), ordered by
     * (count desc, item asc) — the reference's SortedSlice order
     * (reference: sketch.go:189-209).
+    *
+    * Same two-level TREE merge as `tokensArray` (with the same
+    * partition-count cutover): a global aggregate over many partitions must
+    * not funnel every partial sketch blob through one final task.
     */
   def aggregate(df: DataFrame, item: Column, weight: Column, cfg: SketchConfig,
-                oversample: Int = 4): DataFrame =
-    df.select(item.cast("string").as("item"), weight.cast("long").as("weight"))
-      .agg(topkColumn(col("item"), col("weight"), cfg, oversample).as("topk"))
-      .select(explode(col("topk")).as("e"))
+                oversample: Int = 4, mergeFanIn: Int = 64): DataFrame = {
+    import graft.plans.TopKAggregates
+    val bufCfg  = cfg.copy(k = cfg.k * math.max(1, oversample))
+    val updates = df.select(item.cast("string").as("item"), weight.cast("long").as("weight"))
+    val effFanIn =
+      if (mergeFanIn > 1 && df.rdd.getNumPartitions <= mergeFanIn * 2) 1 else mergeFanIn
+    val emitted =
+      if (effFanIn <= 1) {
+        updates
+          .agg(topkColumn(col("item"), col("weight"), cfg, oversample).as("topk"))
+          .select(explode(col("topk")).as("e"))
+      } else {
+        updates
+          .groupBy(pmod(spark_partition_id(), lit(effFanIn)).as("_g"))
+          .agg(TopKAggregates.sketchBytes(col("item"), col("weight"), bufCfg).as("blob"))
+          .agg(TopKAggregates.mergeBlobs(col("blob")).as("m"))
+          .select(explode(TopKAggregates.sketchRows(col("m"), lit(cfg.k))).as("e"))
+      }
+    emitted
       .select(col("e.item"), col("e.count"), col("e.fingerprint"))
       .orderBy(col("count").desc, col("item").asc)
+  }
 
   /** Token top-K straight off the `array<int>` column — no explode stage;
     * the HK loop runs inside the aggregate over each sequence row (the
