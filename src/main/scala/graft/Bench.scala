@@ -32,16 +32,17 @@ object Bench {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
-  /** Per-query times from the latest BENCH_r*.json in cwd (the previous
-    * round's artifact) — baseline for the outlier guard. Empty map if absent
-    * or unparsable; the guard then never triggers.
+  /** Per-query baseline for the outlier guard: the latest BENCH_r*.json in
+    * cwd (the previous round's artifact), overlaid with
+    * BENCH_LOCAL_BASELINE.json — hand-maintained isolated re-measures
+    * (tools/TimeQuery) that cover queries newer than the last round artifact.
+    * Per query the SMALLER of the two wins (the guard should fire off the
+    * best known cost). Empty map if nothing is readable; the guard then
+    * never triggers.
     */
   def readPrevBenchTimes(): Map[String, Double] = {
-    try {
-      val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
-      if (files.isEmpty) return Map.empty
-      val text = new String(java.nio.file.Files.readAllBytes(files.last.toPath),
+    def queriesOf(path: java.nio.file.Path): Map[String, Double] = try {
+      val text = new String(java.nio.file.Files.readAllBytes(path),
         java.nio.charset.StandardCharsets.UTF_8)
       val qsec = """"queries"\s*:\s*\{([^}]*)\}""".r
       val pair = """"([^"]+)"\s*:\s*(-?[0-9.eE+]+)""".r
@@ -49,6 +50,15 @@ object Bench {
         pair.findAllMatchIn(m.group(1)).map(p => p.group(1) -> p.group(2).toDouble).toMap
       }.getOrElse(Map.empty)
     } catch { case _: Throwable => Map.empty }
+    val prev = try {
+      val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
+      if (files.isEmpty) Map.empty[String, Double] else queriesOf(files.last.toPath)
+    } catch { case _: Throwable => Map.empty[String, Double] }
+    val local = queriesOf(java.nio.file.Paths.get("BENCH_LOCAL_BASELINE.json"))
+    (prev.keySet ++ local.keySet).map { k =>
+      k -> math.min(prev.getOrElse(k, Double.MaxValue), local.getOrElse(k, Double.MaxValue))
+    }.toMap.filter(_._2 > 0)
   }
 
   /** The measured token job: scan -> array-native HK partial agg -> merge ->
