@@ -33,22 +33,33 @@ object Bench {
   }
 
   /** Per-query baseline for the outlier guard: the latest BENCH_r*.json in
-    * cwd (the previous round's artifact), overlaid with
-    * BENCH_LOCAL_BASELINE.json — hand-maintained isolated re-measures
-    * (tools/TimeQuery) that cover queries newer than the last round artifact.
-    * Per query the SMALLER of the two wins (the guard should fire off the
-    * best known cost). Empty map if nothing is readable; the guard then
-    * never triggers.
+    * cwd (the previous round's artifact — the driver WRAPS the bench JSON
+    * line escaped inside a "tail" string, so quotes are un-escaped before
+    * matching), overlaid with BENCH_LOCAL_BASELINE.json — hand-maintained
+    * isolated re-measures (tools/TimeQuery) covering queries newer than the
+    * last round artifact. A source contributes only when its recorded
+    * `"sf":"<dir>"` matches the dir being benchmarked (sf0.1 floors must not
+    * trigger quiet-window re-runs on a legitimately-slower larger SF), and
+    * only positive times (the -1.0 failure sentinel must not poison the
+    * min). Per query the SMALLER of the two sources wins. Empty map if
+    * nothing is readable; the guard then never triggers.
     */
-  def readPrevBenchTimes(): Map[String, Double] = {
+  def readPrevBenchTimes(sfDir: String): Map[String, Double] = {
     def queriesOf(path: java.nio.file.Path): Map[String, Double] = try {
-      val text = new String(java.nio.file.Files.readAllBytes(path),
+      val raw = new String(java.nio.file.Files.readAllBytes(path),
         java.nio.charset.StandardCharsets.UTF_8)
-      val qsec = """"queries"\s*:\s*\{([^}]*)\}""".r
-      val pair = """"([^"]+)"\s*:\s*(-?[0-9.eE+]+)""".r
-      qsec.findFirstMatchIn(text).map { m =>
-        pair.findAllMatchIn(m.group(1)).map(p => p.group(1) -> p.group(2).toDouble).toMap
-      }.getOrElse(Map.empty)
+      val text = raw.replace("\\\"", "\"")
+      val sfOf = """"sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(text).map(_.group(1))
+      if (!sfOf.contains(sfDir)) Map.empty
+      else {
+        val qsec = """"queries"\s*:\s*\{([^}]*)\}""".r
+        val pair = """"([^"]+)"\s*:\s*(-?[0-9.eE+]+)""".r
+        qsec.findFirstMatchIn(text).map { m =>
+          pair.findAllMatchIn(m.group(1))
+            .map(p => p.group(1) -> p.group(2).toDouble)
+            .filter(_._2 > 0).toMap
+        }.getOrElse(Map.empty)
+      }
     } catch { case _: Throwable => Map.empty }
     val prev = try {
       val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
@@ -58,7 +69,7 @@ object Bench {
     val local = queriesOf(java.nio.file.Paths.get("BENCH_LOCAL_BASELINE.json"))
     (prev.keySet ++ local.keySet).map { k =>
       k -> math.min(prev.getOrElse(k, Double.MaxValue), local.getOrElse(k, Double.MaxValue))
-    }.toMap.filter(_._2 > 0)
+    }.toMap
   }
 
   /** The measured token job: scan -> array-native HK partial agg -> merge ->
@@ -125,7 +136,7 @@ object Bench {
     // min-of-2 insufficient (both runs of one query landed in the same noise
     // window and published a 6x artifact).
     val errors    = scala.collection.mutable.ArrayBuffer.empty[String]
-    val prevTimes = readPrevBenchTimes()
+    val prevTimes = readPrevBenchTimes(sfDir)
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val (ok, sec) = time {

@@ -107,20 +107,26 @@ object SparkEntry {
     "topk_sliding_event_types" -> ((s, dir) => {
       val ev = events(s, dir)
         .withColumn("tick", datediff(to_date(col("ts")), lit("2024-01-01")))
-      // the tick universe is time-derived: one cheap pruned min/max pre-scan
-      // (parquet footer stats at scale) yields the dense day range, so the
-      // main plan scans events exactly ONCE — the semi-join side is a literal
-      // table instead of a second column-pruned scan. The testdata event
-      // calendar is dense (every day in [min, max] has events — verified at
-      // all SFs); sparse tick sets would pass the exact set instead.
-      val mm = events(s, dir).agg(min(col("ts")), max(col("ts"))).head()
+      // the tick universe is time-derived: one cheap pruned pre-scan
+      // (min/max + distinct-day count in a single aggregate) yields the day
+      // range, so the main plan scans events exactly ONCE — the semi-join
+      // side is a literal table instead of a second column-pruned scan. The
+      // dense-calendar assumption is CHECKED, not assumed: if any day in
+      // [min, max] had no events, knownTicks would emit phantom windows the
+      // present-ticks oracle lacks, so a sparse calendar falls back to the
+      // present-set semi-join (second pruned scan, still correct).
+      val mm = events(s, dir)
+        .agg(min(col("ts")), max(col("ts")), countDistinct(to_date(col("ts")))).head()
       val epoch0 = java.time.LocalDate.parse("2024-01-01").toEpochDay
       def tickOf(i: Int): Long =
         mm.getAs[java.time.LocalDateTime](i).toLocalDate.toEpochDay - epoch0
-      val ticks = if (mm.isNullAt(0)) Seq.empty[Long] else (tickOf(0) to tickOf(1)).toSeq
+      val ticks = if (mm.isNullAt(0)) None else {
+        val span = tickOf(0) to tickOf(1)
+        if (mm.getLong(2) == span.size.toLong) Some(span.toSeq) else None
+      }
       SlidingTopK.perTick(ev, col("tick"), col("event_type"), lit(1L),
           windowTicks = 7, cfg = SketchConfig.withDefaults(k = 5, width = 1024, depth = 3), k = 3,
-          knownTicks = Some(ticks))
+          knownTicks = ticks)
         .select("tick", "rank", "item", "count")
     }),
 
@@ -512,13 +518,15 @@ object SparkEntry {
                   (acc, x) -> (acc * 31 + x) % 2147483647) AS fp
          FROM documents""",
 
+    // whitespace spelled as an explicit class (Java \s matches U+000B,
+    // RE2 \s does not) — must stay in sync with TextAnalysis.BpeTokenPattern
     "text_token_counts" ->
       """SELECT doc_id,
                 len(list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0))::BIGINT AS n_ws,
                 len(list_filter(
                   regexp_extract_all(text,
-                    '''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+'),
-                  t -> NOT regexp_matches(t, '^\s+$')))::BIGINT AS n_bpe
+                    '''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^ \t\n\f\ra-zA-Z0-9]+|[ \t\n\f\r]+'),
+                  t -> NOT regexp_matches(t, '^[ \t\n\f\r]+$')))::BIGINT AS n_bpe
          FROM documents""",
 
     "ann_cosine_topk" ->

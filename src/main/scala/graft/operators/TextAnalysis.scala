@@ -10,7 +10,11 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens of a text column (empty tokens dropped). */
+  /** Whitespace tokens of a text column (empty tokens dropped). NOTE: Java's
+    * `\s` also matches vertical tab U+000B while RE2's (DuckDB oracle) does
+    * not — harmless on the driver corpora (no U+000B), but use an explicit
+    * class like [[BpeWs]] where exact cross-engine parity must be guaranteed.
+    */
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => length(t) > 0)
 
@@ -59,19 +63,23 @@ object TextAnalysis {
     * letter runs, digit runs, punctuation runs — each optionally absorbing a
     * leading space — plus residual whitespace runs. Deliberately restricted
     * to a syntax both java.util.regex (Spark) and RE2 (DuckDB oracle)
-    * evaluate identically: no lookarounds, no unicode classes. The real
-    * GPT-2 pattern's `\s+(?!\S)` lookahead is dropped; residual whitespace
+    * evaluate identically: no lookarounds, no unicode classes, and
+    * whitespace spelled as the explicit class `[ \t\n\f\r]` — Java's `\s`
+    * also matches vertical tab U+000B while RE2's does not, so the
+    * shorthand would diverge on documents containing one. The real GPT-2
+    * pattern's `\s+(?!\S)` lookahead is dropped; residual whitespace
     * matches are filtered out of the count instead.
     */
+  final val BpeWs: String = "[ \\t\\n\\f\\r]"
   final val BpeTokenPattern: String =
-    "'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+|\\s+"
+    s"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^ \\t\\n\\f\\ra-zA-Z0-9]+|$BpeWs+"
 
   /** BPE-ish token count: matches of [[BpeTokenPattern]] that are not pure
     * whitespace. Column-expression only (codegen'd regexp_extract_all).
     */
   def bpeTokenCount(text: Column): Column =
     size(filter(regexp_extract_all(text, lit(BpeTokenPattern), lit(0)),
-      t => !t.rlike("^\\s+$"))).cast("long")
+      t => !t.rlike(s"^$BpeWs+$$"))).cast("long")
 
   /** Deterministic rolling-hash document fingerprint over token lengths:
     * acc = (acc * 31 + len(token) + 1) mod 2^31-1 — a classic polynomial

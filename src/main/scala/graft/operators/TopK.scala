@@ -32,76 +32,75 @@ object TopK {
     graft.plans.TopKAggregates.itemsTopK(
       item, weight, cfg.copy(k = cfg.k * math.max(1, oversample)), cfg.k)
 
-  /** Global top-K of `item` by total `weight`.
-    * Output: (item string, count long, fingerprint long), ordered by
-    * (count desc, item asc) — the reference's SortedSlice order
-    * (reference: sketch.go:189-209).
+  /** Shared global-top-K plan with the two-level TREE merge and its cutover.
     *
-    * Same two-level TREE merge as `tokensArray` (with the same
-    * partition-count cutover): a global aggregate over many partitions must
-    * not funnel every partial sketch blob through one final task.
+    * The union is two-level: scan tasks emit one partial blob each (map-side
+    * combine), the blobs hash to `fanIn` intermediate union tasks, and the
+    * final task unions only `fanIn` blobs. A single-level merge makes the
+    * final task O(#partitions) serial decode+union work — ~2-4 ms per
+    * wide-geometry blob, an Amdahl tail at local[32] with ~850 splits and
+    * fatal at 100 TB (10⁵-10⁶ splits would funnel hundreds of GB of blobs
+    * through one task). The tree itself pays one extra stage barrier
+    * (~0.1 s), so below ~2× fanIn scan partitions — or when the partition
+    * count is unknowable (streaming plans cannot be asked for .rdd) — the
+    * flat single-union plan is selected instead. Partition count comes from
+    * physical split planning, no data read.
+    *
+    * @param flatAgg  aggregate emitting array<struct item,count,fingerprint>
+    *                 (the flat plan's single aggregation)
+    * @param blobAgg  aggregate emitting the serialized sketch blob
+    *                 (the tree's level-1 partial)
     */
-  def aggregate(df: DataFrame, item: Column, weight: Column, cfg: SketchConfig,
-                oversample: Int = 4, mergeFanIn: Int = 64): DataFrame = {
+  private def globalTopK(df: DataFrame, k: Int, mergeFanIn: Int,
+                         flatAgg: Column, blobAgg: Column): DataFrame = {
     import graft.plans.TopKAggregates
-    val bufCfg  = cfg.copy(k = cfg.k * math.max(1, oversample))
-    val updates = df.select(item.cast("string").as("item"), weight.cast("long").as("weight"))
     val effFanIn =
-      if (mergeFanIn > 1 && df.rdd.getNumPartitions <= mergeFanIn * 2) 1 else mergeFanIn
+      if (mergeFanIn <= 1 || df.isStreaming) 1
+      else if (df.rdd.getNumPartitions <= mergeFanIn * 2) 1
+      else mergeFanIn
     val emitted =
       if (effFanIn <= 1) {
-        updates
-          .agg(topkColumn(col("item"), col("weight"), cfg, oversample).as("topk"))
+        df.agg(flatAgg.as("topk"))
           .select(explode(col("topk")).as("e"))
       } else {
-        updates
-          .groupBy(pmod(spark_partition_id(), lit(effFanIn)).as("_g"))
-          .agg(TopKAggregates.sketchBytes(col("item"), col("weight"), bufCfg).as("blob"))
+        df.groupBy(pmod(spark_partition_id(), lit(effFanIn)).as("_g"))
+          .agg(blobAgg.as("blob"))
           .agg(TopKAggregates.mergeBlobs(col("blob")).as("m"))
-          .select(explode(TopKAggregates.sketchRows(col("m"), lit(cfg.k))).as("e"))
+          .select(explode(TopKAggregates.sketchRows(col("m"), lit(k))).as("e"))
       }
     emitted
       .select(col("e.item"), col("e.count"), col("e.fingerprint"))
       .orderBy(col("count").desc, col("item").asc)
   }
 
+  /** Global top-K of `item` by total `weight`.
+    * Output: (item string, count long, fingerprint long), ordered by
+    * (count desc, item asc) — the reference's SortedSlice order
+    * (reference: sketch.go:189-209). Tree-merged past the partition cutover
+    * (see [[globalTopK]]); `mergeFanIn <= 1` forces the flat plan.
+    */
+  def aggregate(df: DataFrame, item: Column, weight: Column, cfg: SketchConfig,
+                oversample: Int = 4, mergeFanIn: Int = 64): DataFrame = {
+    import graft.plans.TopKAggregates
+    val bufCfg  = cfg.copy(k = cfg.k * math.max(1, oversample))
+    val updates = df.select(item.cast("string").as("item"), weight.cast("long").as("weight"))
+    globalTopK(updates, cfg.k, mergeFanIn,
+      flatAgg = topkColumn(col("item"), col("weight"), cfg, oversample),
+      blobAgg = TopKAggregates.sketchBytes(col("item"), col("weight"), bufCfg))
+  }
+
   /** Token top-K straight off the `array<int>` column — no explode stage;
     * the HK loop runs inside the aggregate over each sequence row (the
-    * 100 TB-shape plan: scan -> per-partition sketch -> TREE merge).
-    *
-    * The union is two-level: scan tasks emit one partial blob each (map-side
-    * combine as before), the blobs hash to `mergeFanIn` intermediate union
-    * tasks, and the final task unions only `mergeFanIn` blobs. A single-level
-    * merge makes the final task O(#partitions) serial decode+union work —
-    * ~2-4 ms per wide-geometry blob, which is an Amdahl tail at local[32]
-    * with ~850 splits and fatal at 100 TB (10⁵-10⁶ splits would funnel
-    * hundreds of GB of blobs through one task). `mergeFanIn <= 1` selects
-    * the old single-level plan (useful for small inputs / diagnostics).
+    * 100 TB-shape plan: scan -> per-partition sketch -> TREE merge past the
+    * partition cutover, see [[globalTopK]]).
     */
   def tokensArray(df: DataFrame, tokens: Column, cfg: SketchConfig,
                   oversample: Int = 4, mergeFanIn: Int = 64): DataFrame = {
     import graft.plans.TopKAggregates
     val bufCfg = cfg.copy(k = cfg.k * math.max(1, oversample))
-    // the tree pays one extra stage barrier (~0.1 s); it wins when the final
-    // task would otherwise union far more than fanIn partials (2-4 ms decode
-    // each), i.e. when the scan has many partitions. Below ~2x fanIn the
-    // flat plan's single merge of <= 2*fanIn blobs is cheaper. Partition
-    // count comes from the physical scan split planning (no data read).
-    val effFanIn =
-      if (mergeFanIn > 1 && df.rdd.getNumPartitions <= mergeFanIn * 2) 1 else mergeFanIn
-    if (effFanIn <= 1) {
-      df.agg(TopKAggregates.tokensTopK(tokens, bufCfg, cfg.k).as("topk"))
-        .select(explode(col("topk")).as("e"))
-        .select(col("e.item"), col("e.count"), col("e.fingerprint"))
-        .orderBy(col("count").desc, col("item").asc)
-    } else {
-      df.groupBy(pmod(spark_partition_id(), lit(mergeFanIn)).as("_g"))
-        .agg(TopKAggregates.tokensSketchBytes(tokens, bufCfg).as("blob"))
-        .agg(TopKAggregates.mergeBlobs(col("blob")).as("m"))
-        .select(explode(TopKAggregates.sketchRows(col("m"), lit(cfg.k))).as("e"))
-        .select(col("e.item"), col("e.count"), col("e.fingerprint"))
-        .orderBy(col("count").desc, col("item").asc)
-    }
+    globalTopK(df, cfg.k, mergeFanIn,
+      flatAgg = TopKAggregates.tokensTopK(tokens, bufCfg, cfg.k),
+      blobAgg = TopKAggregates.tokensSketchBytes(tokens, bufCfg))
   }
 
   /** Per-group top-K: one top-K list per value of `groupCols` (e.g. a
