@@ -360,6 +360,34 @@ object SparkEntry {
           col("rank"), col("item"), col("count"))
     }),
 
+    // STATEFUL stream-stream join (north-rule surface): watermarked
+    // symmetric-hash interval self-join of the events stream — emit
+    // (A, B) pairs where B follows A on the same user within 10 minutes.
+    // Both event times are bounded against each other, so join state
+    // expires with the watermark (bounded by rate x interval, not stream
+    // length). Inner joins emit every matched pair exactly once; with
+    // AvailableNow over a bounded input the result equals the batch
+    // self-join, which is the oracle.
+    "stream_join_follows" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val schema = events(s, dir).schema
+      requireUtc(s)
+      def src() = s.readStream.schema(schema).parquet(streamSourceDir(dir).toString)
+        .select(col("user_id").cast("long").as("key"),
+          col("ts").cast("timestamp").as("ts"), col("event_type").as("payload"))
+      val out = graft.streaming.StreamJoins.followsWithin(
+        src(), src(), withinSeconds = 600L, watermarkDelay = "0 seconds")
+      val name = s"stream_join_${System.nanoTime()}"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).select(col("key").as("user_id"),
+        col("ts_a").cast("timestamp_ntz").as("ts_a"), col("payload_a").as("type_a"),
+        col("ts_b").cast("timestamp_ntz").as("ts_b"), col("payload_b").as("type_b"))
+    }),
+
     // membership surface: Query(item) as a semi-join against the top-K
     // (reference: sketch.go:172-175)
     "topk_query_membership" -> ((s, dir) => {
@@ -700,6 +728,16 @@ object SparkEntry {
          FROM r WHERE rank <= 2
            AND session_end <= (SELECT max(ts) FROM events)
          ORDER BY user_id, session_start, rank""",
+
+    // inner stream-stream joins emit every matched pair (no watermark
+    // withhold), so the bounded-input streaming result equals the batch join
+    "stream_join_follows" ->
+      """SELECT e1.user_id, e1.ts AS ts_a, e1.event_type AS type_a,
+                e2.ts AS ts_b, e2.event_type AS type_b
+         FROM events e1 JOIN events e2
+           ON e1.user_id = e2.user_id
+          AND e2.ts > e1.ts
+          AND e2.ts <= e1.ts + INTERVAL 600 SECOND""",
 
     "topk_query_membership" ->
       """WITH topk AS (
