@@ -22,13 +22,17 @@ object SketchCodec {
   private final val MagicPlain: Int   = 0x544b5032 // "TKP2"
   private final val MagicSliding: Int = 0x544b5332 // "TKS2"
 
-  private def writeItem(out: DataOutputStream, item: String): Unit = {
+  /** Length-prefixed raw UTF-8 item framing (writeUTF would cap items at
+    * 64 KB modified UTF-8) — shared with the streaming state codec so the
+    * framing cannot drift between the two.
+    */
+  private[graft] def writeItem(out: DataOutputStream, item: String): Unit = {
     val b = item.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     out.writeInt(b.length)
     out.write(b)
   }
 
-  private def readItem(in: DataInputStream): String = {
+  private[graft] def readItem(in: DataInputStream): String = {
     val b = new Array[Byte](in.readInt())
     in.readFully(b)
     new String(b, java.nio.charset.StandardCharsets.UTF_8)

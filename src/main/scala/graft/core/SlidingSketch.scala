@@ -23,6 +23,9 @@ final case class SlidingConfig(
   require(bucketHistoryLength >= 1 && bucketHistoryLength <= windowSize,
     s"bucketHistoryLength $bucketHistoryLength outside [1, $windowSize]")
   require(decay > 0f && decay <= 1f, s"decay must be in (0,1], got $decay")
+  // same guard as SketchConfig: lutSize <= 1 would divide by zero (or index
+  // negatively) in SketchOps.decayAt at the first collision decay
+  require(lutSize > 1, s"lutSize must be > 1, got $lutSize")
 }
 
 object SlidingConfig {
@@ -134,10 +137,33 @@ final class SlidingSketch(val cfg: SlidingConfig) extends Serializable {
     if (bucketsToAge >= m.toLong * hist) {
       // Fast path for large watermark jumps: every bucket ages >= hist times,
       // which fully clears every ring (further ages are no-ops on empty
-      // buckets). Equivalent to the reference loop, O(m) instead of O(n·m).
-      java.util.Arrays.fill(countsSum, 0L)
-      java.util.Arrays.fill(ring, 0L)
-      java.util.Arrays.fill(first, 0)
+      // buckets). Equivalent to the reference loop, O(m·hist) instead of
+      // O(n·m). `first` must land where the per-tick loop would leave it —
+      // tickBucket early-returns once the bucket is empty, so the final head
+      // is the slot whose expiry emptied the bucket: the first NON-ZERO slot
+      // scanning forward from the current head (expiry walks backwards from
+      // head-1, so the head-forward-nearest non-zero slot is expired last).
+      // An absolute reset to 0 would change the age of a later collision
+      // takeover's mass (the reference writes takeover mass at absolute
+      // slot 0 — see add()).
+      var b = 0
+      while (b < m) {
+        if (countsSum(b) != 0L) {
+          val base = b * hist
+          var i    = first(b)
+          var step = 0
+          var done = false
+          while (step < hist && !done) {
+            if (ring(base + i) != 0L) { first(b) = i; done = true }
+            i += 1
+            if (i == hist) i = 0
+            step += 1
+          }
+          java.util.Arrays.fill(ring, base, base + hist, 0L)
+          countsSum(b) = 0L
+        }
+        b += 1
+      }
       nextBucketToExpire = ((cursor + bucketsToAge) % m).toInt
       recountHeapItems()
       return
@@ -175,6 +201,19 @@ final class SlidingSketch(val cfg: SlidingConfig) extends Serializable {
       i += 1
     }
     heap.reinit()
+  }
+
+  /** Whether any bucket still holds in-window mass — including mass for
+    * items the bounded heap is not tracking. Used by streaming state cleanup:
+    * heap-empty alone does not mean the window is drained.
+    */
+  def hasResidualMass: Boolean = {
+    var b = 0
+    while (b < m) {
+      if (countsSum(b) != 0L) return true
+      b += 1
+    }
+    false
   }
 
   def incr(item: String): Boolean = add(item, 1L)
@@ -308,6 +347,12 @@ final class SlidingSketch(val cfg: SlidingConfig) extends Serializable {
   def merge(other: SlidingSketch): SlidingSketch = {
     require(other.width == width && other.depth == depth && other.hist == hist,
       "sliding sketch geometry mismatch")
+    // windowSize sets the tick-ageing cadence (ticks(n) ages n·hist·m/N
+    // buckets): two sketches with different N cannot have observed the same
+    // tick schedule, so a silent union would mix rings aged at different
+    // rates — fail fast like any other geometry mismatch
+    require(other.cfg.windowSize == cfg.windowSize,
+      s"sliding window size mismatch: ${cfg.windowSize} vs ${other.cfg.windowSize}")
     var b = 0
     while (b < m) {
       val ca = countsSum(b); val cb = other.countsSum(b)

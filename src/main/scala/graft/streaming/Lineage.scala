@@ -74,9 +74,14 @@ object Lineage {
       stateBytes: Long
   )
 
-  /** Listener accumulating per-batch metrics for all queries on a session. */
-  final class MetricsListener extends StreamingQueryListener {
-    private val buf = scala.collection.mutable.ArrayBuffer.empty[BatchMetrics]
+  /** Listener accumulating per-batch metrics for all queries on a session.
+    * Retention is BOUNDED (default 100k batches, oldest dropped): the
+    * listener lives for the session, and an unbounded buffer on a 1 s
+    * trigger is a slow driver-memory leak in exactly the long-running
+    * deployments this exists to monitor.
+    */
+  final class MetricsListener(maxRetained: Int = 100000) extends StreamingQueryListener {
+    private val buf = scala.collection.mutable.ArrayDeque.empty[BatchMetrics]
 
     def metrics: Seq[BatchMetrics] = buf.synchronized(buf.toSeq)
 
@@ -86,6 +91,7 @@ object Lineage {
       }
       buf.synchronized {
         buf += BatchMetrics(p.batchId, p.numInputRows, p.processedRowsPerSecond, rows, bytes)
+        while (buf.size > maxRetained) buf.removeHead()
       }
     }
 

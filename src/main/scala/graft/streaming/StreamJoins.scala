@@ -25,11 +25,11 @@ object StreamJoins {
   /** @param left   streaming DataFrame — the "A" side
     * @param right  streaming DataFrame — the "B" side (may read the same
     *               source for a self-join)
-    * @param keyCols       join key column name present on both sides
     * @param withinSeconds max allowed ts_b - ts_a (strictly positive lag)
     * @param watermarkDelay lateness bound for both sides
-    * Inputs must expose (key, ts timestamp, payload string) columns named
-    * via the selects below. Output: key, ts_a, payload_a, ts_b, payload_b.
+    * Both inputs must expose columns named `key`, `ts` (timestamp) and
+    * `payload` — select/rename upstream to fit. Output: key, ts_a,
+    * payload_a, ts_b, payload_b.
     */
   def followsWithin(
       left: DataFrame,

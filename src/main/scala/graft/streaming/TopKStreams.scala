@@ -112,22 +112,23 @@ object TopKStreams {
 
     // the watermarked ts column must flow into the stateful operator itself
     // (Spark's event-time-timeout check requires it), so keep it typed.
-    // Null rows are dropped (they'd NPE the tuple encoder / state function;
-    // the batch aggregate paths guard these per-row too). NOTE: the filter
-    // may be pushed below the watermark operator, so dropped rows do not
-    // advance event time — that's the documented semantic. Non-positive
-    // weights stay HERE (they must advance the watermark, e.g. heartbeat
-    // rows) and become no-ops inside the state function.
+    // Null rows are dropped AFTER the casts — a cast can itself produce null
+    // (decimal overflow, non-numeric strings), and such a row must degrade
+    // to a drop, not kill the query in the non-nullable tuple encoder.
+    // NOTE: the filter may be pushed below the watermark operator, so
+    // dropped rows do not advance event time — that's the documented
+    // semantic. Non-positive weights stay (they must advance the watermark,
+    // e.g. heartbeat rows) and become no-ops inside the state function.
     val typed = updates
       .withWatermark("ts", watermarkDelay)
-      .where(col("key").isNotNull && col("ts").isNotNull &&
-        col("item").isNotNull && col("weight").isNotNull)
       .select(
         col("key").cast("string").as("_1"),
         col("ts").as("_2"),
         col("item").cast("string").as("_3"),
         col("weight").cast("long").as("_4")
       )
+      .where(col("_1").isNotNull && col("_2").isNotNull &&
+        col("_3").isNotNull && col("_4").isNotNull)
       .as[(String, java.sql.Timestamp, String, Long)]
 
     typed
@@ -214,18 +215,28 @@ object TopKStreams {
       }
     }
 
-    if (st.pending.isEmpty && st.sketch.heap.size == 0) {
+    if (st.pending.isEmpty && st.sketch.heap.size == 0 && !st.sketch.hasResidualMass) {
       // fully drained: drop the state (bounded state for idle keys; a later
-      // arrival re-initializes the clock from its own tick)
+      // arrival re-initializes the clock from its own tick). Heap-empty alone
+      // is NOT drained: buckets can still hold in-window mass for items the
+      // bounded heap never tracked — discarding it would deepen their
+      // under-estimate beyond what the window semantics imply.
       state.remove()
     } else {
       state.update(SlidingStreamCodec.encode(st))
-      // wake up when the watermark can complete the next interesting tick:
-      // the earliest pending tick's end, or the next boundary past the clock.
-      // Must be > current watermark (Spark requirement), even when wm == 0.
+      // wake up when the watermark can complete the next interesting tick.
+      // While the heap holds entries, that is the very next tick boundary
+      // (clockTick + 1): drain ticks must emit tick-by-tick and must not
+      // stall behind a buffered far-future row (pending ticks are always
+      // >= the clock, so taking the pending minimum would defer every drain
+      // tick until that row completes — or forever, if the watermark
+      // plateaus first). With an empty heap nothing emits until new data,
+      // so sleep until the earliest pending tick can complete (the bulk
+      // ticks() jump ages any residual bucket mass in one shot then).
+      // Must be > current watermark (Spark requirement).
       val nextInteresting =
-        if (st.pending.nonEmpty) (st.pending.iterator.map(_._1).min + 1) * tickMillis
-        else (st.clockTick + 1) * tickMillis
+        if (st.sketch.heap.size > 0 || st.pending.isEmpty) (st.clockTick + 1) * tickMillis
+        else (st.pending.iterator.map(_._1).min + 1) * tickMillis
       state.setTimeoutTimestamp(math.max(nextInteresting, wmMillis + 1))
     }
     out.result().iterator
@@ -259,9 +270,7 @@ object SlidingStreamCodec {
     out.writeInt(st.pending.size)
     st.pending.foreach { case (t, i, w) =>
       out.writeLong(t)
-      // length-prefixed raw UTF-8: writeUTF caps items at 64 KB
-      val ib = i.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      out.writeInt(ib.length); out.write(ib)
+      SketchCodec.writeItem(out, i) // shared length-prefixed UTF-8 framing
       out.writeLong(w)
     }
     out.flush()
@@ -279,10 +288,8 @@ object SlidingStreamCodec {
     val pending  = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
     var i = 0
     while (i < n) {
-      val t  = in.readLong()
-      val ib = new Array[Byte](in.readInt())
-      in.readFully(ib)
-      pending += ((t, new String(ib, java.nio.charset.StandardCharsets.UTF_8), in.readLong()))
+      val t = in.readLong()
+      pending += ((t, SketchCodec.readItem(in), in.readLong()))
       i += 1
     }
     new SlidingStreamState(sketch, clockTick, pending)

@@ -152,6 +152,20 @@ class SlidingSketchSpec extends AnyFunSuite {
     assert(fast.sortedSlice.toSeq == slow.sortedSlice.toSeq)
     assert(fast.countsSum.toSeq == slow.countsSum.toSeq)
     assert(fast.nextBucketToExpire == slow.nextBucketToExpire)
+    // the ring HEADS must also match: the reference's per-tick loop stops
+    // advancing `first` once a bucket empties, and a later collision
+    // takeover writes its mass at ABSOLUTE slot 0, whose age (and thus
+    // expiry tick) depends on where `first` landed. A fast path that reset
+    // heads to 0 would give takeover mass a different lifetime.
+    assert(fast.first.toSeq == slow.first.toSeq)
+    // behavioral check of the same: post-jump adds + takeovers then partial
+    // ageing must agree between the two paths
+    for (s <- Seq(fast, slow)) {
+      s.add("C", 3); s.add("D", 2)
+      (0 until 3).foreach(_ => s.tick())
+    }
+    assert(fast.countsSum.toSeq == slow.countsSum.toSeq)
+    assert(fast.sortedSlice.toSeq == slow.sortedSlice.toSeq)
   }
 
   test("merge: tick-aligned union equals sequential when collision-free") {
