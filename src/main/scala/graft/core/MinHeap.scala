@@ -58,7 +58,10 @@ final class MinHeap(val k: Int) extends Serializable {
 
   @inline private def less(i: Int, j: Int): Boolean = {
     val ci = countArr(i); val cj = countArr(j)
-    if (ci == cj) itemsArr(i).compareTo(itemsArr(j)) < 0 else ci < cj
+    // tie-break by code point (== UTF-8 byte order), matching the Go
+    // reference's string `<`, Spark's UTF8String and DuckDB — NOT Java's
+    // UTF-16-unit compareTo (diverges on supplementary characters)
+    if (ci == cj) SketchOps.compareItems(itemsArr(i), itemsArr(j)) < 0 else ci < cj
   }
 
   @inline private def swap(i: Int, j: Int): Unit = {
@@ -171,7 +174,7 @@ final class MinHeap(val k: Int) extends Serializable {
     * (reference: sketch.go:189-209).
     */
   def sorted: Array[TopKEntry] =
-    entries.filter(_.count > 0).sortBy(e => (-e.count, e.item))
+    entries.filter(_.count > 0).sortWith(SketchOps.entryOrder)
 
   /** Approximate in-memory footprint in bytes (reference: heap/heap.go:40-45). */
   def sizeBytes: Long = {

@@ -8,6 +8,38 @@ import java.nio.charset.StandardCharsets
   */
 private[core] object SketchOps {
 
+  /** Item tie-break comparison by Unicode CODE POINT — equivalent to
+    * comparing the UTF-8 byte sequences (UTF-8 is order-preserving in code
+    * points), which is the order used by Go's string `<` (the reference's
+    * heap tie-break, heap/heap.go:65-72), Spark's UTF8String and DuckDB.
+    * Java's String.compareTo compares UTF-16 units, which sorts
+    * supplementary characters (surrogate pairs, 0xD800-0xDBFF) BEFORE
+    * [U+E000, U+FFFF] — the opposite of byte order. Identical to compareTo
+    * for BMP-only strings (all golden vectors).
+    */
+  def compareItems(a: String, b: String): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val ca = a.charAt(i)
+      val cb = b.charAt(i)
+      if (ca != cb) {
+        // a high surrogate starts a code point >= U+10000: rank it above
+        // every BMP char (low surrogates only follow highs in well-formed
+        // strings, and two highs order consistently with their code points)
+        val ra = if (ca >= 0xD800 && ca < 0xDC00) ca + 0x2800 else ca.toInt
+        val rb = if (cb >= 0xD800 && cb < 0xDC00) cb + 0x2800 else cb.toInt
+        return ra - rb
+      }
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** (count desc, item asc-by-code-point) — the emission order. */
+  @inline def entryOrder(x: TopKEntry, y: TopKEntry): Boolean =
+    x.count > y.count || (x.count == y.count && compareItems(x.item, y.item) < 0)
+
   /** decay^count via LUT, with the reference's closed-form extension for
     * counts beyond the LUT (sketch.go:146-153).
     */
@@ -43,7 +75,7 @@ private[core] object SketchOps {
       TopKEntry(fp, it, mx)
     }
     heap.reset()
-    estimated.filter(_.count > 0).sortBy(e => (-e.count, e.item)).take(k).foreach { e =>
+    estimated.filter(_.count > 0).sortWith(entryOrder).take(k).foreach { e =>
       heap.update(e.item, e.fingerprint, e.count)
     }
   }

@@ -43,8 +43,7 @@ object Dedup {
     udf { (s: String) =>
       if (s == null || s.length < k) Array.empty[Long]
       else {
-        val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        // shingle over characters; for ASCII-ish corpora bytes == chars
+        // shingles over CHARACTERS (String.substring windows)
         val n   = s.length - k + 1
         val out = new Array[Long](n)
         var i   = 0

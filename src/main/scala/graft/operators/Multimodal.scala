@@ -59,11 +59,18 @@ object Multimodal {
     * sandbox contract (no media libraries in this container).
     */
   private[operators] def fakeDecode(payload: Array[Byte], n: Int): Array[Float] = {
-    val out = new Array[Float](n)
-    var i   = 0
+    // LINEAR in payload + n: ONE full-payload hash seeds a SplitMix64 value
+    // stream (the old version re-hashed the whole payload per output element
+    // — O(len²), a hang on megabyte payloads)
+    val base = XxHash32.hash(payload, 7).toLong & 0xffffffffL
+    val out  = new Array[Float](n)
+    var i    = 0
     while (i < n) {
-      val h = XxHash32.hash(payload, i + 7)
-      out(i) = ((h & 0xffffffffL).toDouble / 4294967295.0).toFloat
+      var z = (base << 32 | i.toLong) + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^= z >>> 31
+      out(i) = ((z >>> 40).toDouble / (1 << 24).toDouble).toFloat
       i += 1
     }
     out
@@ -75,28 +82,30 @@ object Multimodal {
   def extractFeatures(dim: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((payload: Array[Byte]) => if (payload == null) null else fakeDecode(payload, dim))
 
-  /** "Resize": decode (stub) then downsample the decoded stream to
-    * (w × h) values by strided mean pooling — the batch shape and
-    * column contract of a real resize.
+  /** "Resize": decode (stub) a fixed 4× oversampled stream, then downsample
+    * to (w × h) values by strided mean pooling — the batch shape and column
+    * contract of a real resize, at cost linear in payload + w·h.
     */
-  def resize(w: Int, h: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+  def resize(w: Int, h: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    require(w > 0 && h > 0, s"resize dimensions must be positive, got ${w}x$h")
+    val stride = 4
     udf { (payload: Array[Byte]) =>
       if (payload == null) null
       else {
-        val full   = fakeDecode(payload, math.max(payload.length, w * h))
-        val out    = new Array[Float](w * h)
-        val stride = math.max(1, full.length / (w * h))
-        var i      = 0
+        val full = fakeDecode(payload, w * h * stride)
+        val out  = new Array[Float](w * h)
+        var i    = 0
         while (i < w * h) {
           var s = 0.0f
           var j = 0
-          while (j < stride) { s += full(math.min(i * stride + j, full.length - 1)); j += 1 }
+          while (j < stride) { s += full(i * stride + j); j += 1 }
           out(i) = s / stride
           i += 1
         }
         out
       }
     }
+  }
 
   /** Frame sampling for "video" payloads: split the payload into nFrames
     * deterministic byte chunks (the batch/offset arithmetic of real frame

@@ -46,8 +46,11 @@ object Similarity {
                  k: Int): DataFrame = {
     val c = corpus.select(corpusId.cast("long").as("neighbor_id"), corpusVec.as("cvec"))
       .withColumn("cn", sqrt(VecDot(col("cvec"), col("cvec"))))
+      .where(col("cn") > 0) // zero vectors have no direction: cosine = 0/0 =
+      // NaN, and Spark sorts NaN ABOVE 1.0 — an all-zero row would rank 1
     val q = queries.select(queryId.cast("long").as("query_id"), queryVec.as("qvec"))
       .withColumn("qn", sqrt(VecDot(col("qvec"), col("qvec"))))
+      .where(col("qn") > 0)
     val scored = c.crossJoin(broadcast(q))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("similarity", VecDot(col("cvec"), col("qvec")) / (col("cn") * col("qn")))
@@ -59,35 +62,62 @@ object Similarity {
         col("neighbor_id"), round(col("similarity"), 6).as("similarity"))
   }
 
+  /** Deterministic plane component for (bit, dim): SplitMix64 mix mapped to
+    * [-1, 1). Pure function of the indices — see hyperplaneSignature.
+    */
+  @inline private def planeComponent(b: Int, i: Int): Double = {
+    var z = (b.toLong << 32 | i.toLong) + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^= z >>> 31
+    (z >>> 11).toDouble / (1L << 52).toDouble - 1.0
+  }
+
   /** Deterministic random-hyperplane bit signature (sign of dot with seeded
     * pseudo-random planes), `nBits` bits packed into a long (nBits <= 64).
+    * The plane matrix depends only on (bit, dim), so it is materialized ONCE
+    * per deserialized task closure and reused across the task's rows —
+    * recomputing the 3-step mix per (row × bit × dim) was ~4× the arithmetic
+    * of the signature's own dot products. Signatures are bit-identical to
+    * the per-row computation (same mix, same order).
     */
-  def hyperplaneSignature(nBits: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (vec: Array[Float]) =>
-      if (vec == null) 0L
-      else {
+  def hyperplaneSignature(nBits: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    udf(new (Array[Float] => Long) with Serializable {
+      @transient private var planes: Array[Array[Double]] = _
+      @transient private var dims: Int                     = 0
+
+      private def planesFor(dim: Int): Array[Array[Double]] = {
+        if (planes == null || dims < dim) {
+          val p = Array.ofDim[Double](nBits, dim)
+          var b = 0
+          while (b < nBits) {
+            var i = 0
+            while (i < dim) { p(b)(i) = planeComponent(b, i); i += 1 }
+            b += 1
+          }
+          planes = p
+          dims = dim
+        }
+        planes
+      }
+
+      override def apply(vec: Array[Float]): Long = {
+        if (vec == null) return 0L
+        val p   = planesFor(vec.length)
         var sig = 0L
         var b   = 0
         while (b < nBits) {
+          val row = p(b)
           var dot = 0.0
           var i   = 0
-          while (i < vec.length) {
-            // deterministic plane component from SplitMix64(bit, dim)
-            var z = (b.toLong << 32 | i.toLong) + 0x9e3779b97f4a7c15L
-            z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-            z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-            z ^= z >>> 31
-            // map to [-1, 1)
-            val r = (z >>> 11).toDouble / (1L << 52).toDouble - 1.0
-            dot += vec(i) * r
-            i += 1
-          }
+          while (i < vec.length) { dot += vec(i) * row(i); i += 1 }
           if (dot >= 0) sig |= (1L << b)
           b += 1
         }
         sig
       }
-    }
+    })
+  }
 
   /** Approximate top-K: hyperplane-LSH blocking (band equality on signature
     * slices) + exact cosine rerank of the candidates. Recall is a function of
@@ -109,6 +139,7 @@ object Similarity {
     def banded(df: DataFrame, idName: String, vecName: String, normName: String) =
       df.withColumn("sig", sigU(col(vecName)))
         .withColumn(normName, sqrt(VecDot(col(vecName), col(vecName))))
+        .where(col(normName) > 0) // see cosineTopK: NaN-guard for zero vectors
         .select(col(idName), col(vecName), col(normName), posexplode(
           array((0 until bands).map(q =>
             shiftright(col("sig"), q * width).bitwiseAND(lit(mask))): _*))
@@ -157,6 +188,7 @@ object Similarity {
     require(nProbe >= 1 && nProbe <= nCells, "need 1 <= nProbe <= nCells")
     val c = corpus.select(corpusId.cast("long").as("neighbor_id"), corpusVec.as("cvec"))
       .withColumn("cn", sqrt(VecDot(col("cvec"), col("cvec"))))
+      .where(col("cn") > 0) // see cosineTopK: NaN-guard for zero vectors
     // deterministic training-free coarse quantizer
     val centroids = c
       .withColumn("_h", xxhash64(col("neighbor_id")))
@@ -175,6 +207,7 @@ object Similarity {
     // query side probes its nProbe nearest cells
     val q = queries.select(queryId.cast("long").as("query_id"), queryVec.as("qvec"))
       .withColumn("qn", sqrt(VecDot(col("qvec"), col("qvec"))))
+      .where(col("qn") > 0)
     val byQuery = Window.partitionBy(col("query_id"))
       .orderBy(col("cell_sim").desc, col("cell").asc)
     val probes = q.crossJoin(broadcast(centroids))
@@ -203,7 +236,9 @@ object Similarity {
   def nearDupPairsBrute(df: DataFrame, id: Column, vec: Column,
                         threshold: Double): DataFrame = {
     val l = df.select(id.cast("long").as("a"), vec.as("va"))
+      .where(VecDot(col("va"), col("va")) > 0) // NaN-guard: see cosineTopK
     val r = df.select(id.cast("long").as("b"), vec.as("vb"))
+      .where(VecDot(col("vb"), col("vb")) > 0)
     l.join(r, col("a") < col("b"))
       .withColumn("similarity", cosine(col("va"), col("vb")))
       .where(col("similarity") >= threshold)
@@ -233,6 +268,9 @@ object Similarity {
     import spark.implicits._
     val v = df.select(id.cast("long").as("id"), vec.as("v"))
       .withColumn("nrm", sqrt(VecDot(col("v"), col("v"))))
+      .where(col("nrm") > 0) // NaN-guard: see cosineTopK (NaN >= threshold is
+      // TRUE under Spark's NaN-largest ordering, so zero vectors would pair
+      // with everything in an operator documented as exact)
       .withColumn("blk", pmod(xxhash64(col("id")), lit(nBlocks)).cast("int"))
     val grid = (for { i <- 0 until nBlocks; j <- i until nBlocks } yield (i, j))
       .toDF("bi", "bj")
@@ -266,6 +304,7 @@ object Similarity {
     val mask = (1L << width) - 1
     val withSig = df.select(id.cast("long").as("doc_id"), vec.as("v"))
       .withColumn("nrm", sqrt(VecDot(col("v"), col("v"))))
+      .where(col("nrm") > 0) // NaN-guard: see cosineTopK
       .withColumn("sig", hyperplaneSignature(nBits)(col("v")))
     val blocked = withSig.select(col("doc_id"), col("v"), col("nrm"), posexplode(
       array((0 until bands).map(q =>

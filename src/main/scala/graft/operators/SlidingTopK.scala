@@ -53,6 +53,10 @@ object SlidingTopK {
       k: Int,
       knownTicks: Option[Seq[Long]] = None
   ): DataFrame = {
+    // windowTicks = 0 would make sequence(tick, tick - 1) below, which Spark
+    // evaluates with implicit step -1 — silently attributing each tick's
+    // data to the PREVIOUS window instead of erroring
+    require(windowTicks >= 1, s"windowTicks must be >= 1, got $windowTicks")
     val updates = df.select(
       tick.cast("long").as("tick"),
       item.cast("string").as("item"),

@@ -41,10 +41,15 @@ object TopK {
     * wide-geometry blob, an Amdahl tail at local[32] with ~850 splits and
     * fatal at 100 TB (10⁵-10⁶ splits would funnel hundreds of GB of blobs
     * through one task). The tree itself pays one extra stage barrier
-    * (~0.1 s), so below ~2× fanIn scan partitions — or when the partition
-    * count is unknowable (streaming plans cannot be asked for .rdd) — the
-    * flat single-union plan is selected instead. Partition count comes from
-    * physical split planning, no data read.
+    * (~0.1 s), so for small inputs — or streaming plans — the flat
+    * single-union plan is selected instead. The size signal is the
+    * optimizer's PLANNING-TIME statistics (file-source bytes / upstream
+    * estimates) against the session's split size — deliberately NOT
+    * `df.rdd.getNumPartitions`, which under AQE materializes (executes!)
+    * every upstream shuffle stage just to ask. A coarse estimate is fine:
+    * the cutover is a latency heuristic, both plans are correct.
+    * `mergeFanIn < 0` FORCES the tree with fan-in |mergeFanIn| (tests,
+    * plan dumps, or callers that know better).
     *
     * @param flatAgg  aggregate emitting array<struct item,count,fingerprint>
     *                 (the flat plan's single aggregation)
@@ -55,9 +60,13 @@ object TopK {
                          flatAgg: Column, blobAgg: Column): DataFrame = {
     import graft.plans.TopKAggregates
     val effFanIn =
-      if (mergeFanIn <= 1 || df.isStreaming) 1
-      else if (df.rdd.getNumPartitions <= mergeFanIn * 2) 1
-      else mergeFanIn
+      if (mergeFanIn < 0) -mergeFanIn
+      else if (mergeFanIn <= 1 || df.isStreaming) 1
+      else {
+        val estBytes  = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        val splitSize = BigInt(df.sparkSession.sessionState.conf.filesMaxPartitionBytes)
+        if (estBytes > splitSize * mergeFanIn * 2) mergeFanIn else 1
+      }
     val emitted =
       if (effFanIn <= 1) {
         df.agg(flatAgg.as("topk"))

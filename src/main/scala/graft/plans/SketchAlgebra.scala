@@ -25,6 +25,14 @@ case class MergeSketchBlobsAgg(
     inputAggBufferOffset: Int = 0
 ) extends TypedImperativeAggregate[MergeBuf] with UnaryLike[Expression] {
 
+  // analysis-time validation, like every other sketch aggregate: a wrong
+  // column otherwise dies with a ClassCastException on the executors
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"topk_merge expects a BINARY sketch blob, got ${child.dataType.catalogString}")
+
   override def createAggregationBuffer(): MergeBuf = new MergeBuf(null)
 
   override def update(buf: MergeBuf, input: InternalRow): MergeBuf = {
@@ -68,24 +76,19 @@ case class MergeSketchBlobsAgg(
 case class SketchRowsExpr(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"topk_rows expects (binary, int), got (${left.dataType.catalogString}, ${right.dataType.catalogString})")
+
   override def dataType: DataType = TopKResult.dataType
   override def nullable: Boolean  = true
 
-  override protected def nullSafeEval(blob: Any, k: Any): Any = {
-    val sk  = SketchCodec.decode(blob.asInstanceOf[Array[Byte]])
-    val kk  = k.asInstanceOf[Int]
-    val top = sk.sortedSlice
-    val n   = math.min(kk, top.length)
-    val out = new Array[Any](n)
-    var i   = 0
-    while (i < n) {
-      val e = top(i)
-      out(i) = new GenericInternalRow(Array[Any](
-        UTF8String.fromString(e.item), e.count, e.fingerprint.toLong & 0xffffffffL))
-      i += 1
-    }
-    new GenericArrayData(out)
-  }
+  override protected def nullSafeEval(blob: Any, k: Any): Any =
+    // one emitted-row shape, shared with the aggregate path
+    TopKResult.toArrayData(
+      SketchCodec.decode(blob.asInstanceOf[Array[Byte]]), k.asInstanceOf[Int])
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SketchRowsExpr =
     copy(left = newLeft, right = newRight)

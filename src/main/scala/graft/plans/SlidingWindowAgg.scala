@@ -58,6 +58,9 @@ case class SlidingTopKAgg(
     inputAggBufferOffset: Int = 0
 ) extends TypedImperativeAggregate[TickRing] with TernaryLike[Expression] {
 
+  require(windowTicks >= 1, s"windowTicks must be >= 1, got $windowTicks")
+  require(emitK >= 1, s"emitK must be >= 1, got $emitK")
+
   override def checkInputDataTypes(): TypeCheckResult = {
     val integral = Seq[DataType](ByteType, ShortType, IntegerType, LongType)
     if (!integral.contains(first.dataType))

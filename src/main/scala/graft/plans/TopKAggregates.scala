@@ -85,6 +85,21 @@ object TopKResult {
       else weightAsLong(right.eval(input))
   }
 
+  /** Shared token-array update loop (TokensTopKAgg / TokensSketchBytesAgg —
+    * one implementation so the null handling cannot drift).
+    */
+  @inline def updateFromTokens(buffer: Sketch, v: Any): Unit = {
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      val n   = arr.numElements()
+      var i   = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) buffer.addToken(arr.getInt(i), 1L)
+        i += 1
+      }
+    }
+  }
+
   def toArrayData(buffer: Sketch, emitK: Int): ArrayData = {
     val top = buffer.sortedSlice
     val n   = math.min(emitK, top.length)
@@ -129,15 +144,7 @@ case class TokensTopKAgg(
     val v =
       if (tokOrd >= 0) { if (input.isNullAt(tokOrd)) null else input.getArray(tokOrd) }
       else child.eval(input)
-    if (v != null) {
-      val arr = v.asInstanceOf[ArrayData]
-      val n   = arr.numElements()
-      var i   = 0
-      while (i < n) {
-        if (!arr.isNullAt(i)) buffer.addToken(arr.getInt(i), 1L)
-        i += 1
-      }
-    }
+    TopKResult.updateFromTokens(buffer, v)
     buffer
   }
 
@@ -190,15 +197,7 @@ case class TokensSketchBytesAgg(
     val v =
       if (tokOrd >= 0) { if (input.isNullAt(tokOrd)) null else input.getArray(tokOrd) }
       else child.eval(input)
-    if (v != null) {
-      val arr = v.asInstanceOf[ArrayData]
-      val n   = arr.numElements()
-      var i   = 0
-      while (i < n) {
-        if (!arr.isNullAt(i)) buffer.addToken(arr.getInt(i), 1L)
-        i += 1
-      }
-    }
+    TopKResult.updateFromTokens(buffer, v)
     buffer
   }
 

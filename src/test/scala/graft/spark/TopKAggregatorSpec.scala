@@ -86,7 +86,7 @@ class TopKAggregatorSpec extends AnyFunSuite {
     }
     val df  = docs.toDF("doc_id", "tokens").repartition(8)
     val cfg = SketchConfig.withDefaults(20, width = 1024, depth = 3)
-    val ours = TopK.tokensArray(df, col("tokens"), cfg, mergeFanIn = 4)
+    val ours = TopK.tokensArray(df, col("tokens"), cfg, mergeFanIn = -4) // force tree
       .select("item", "count").collect().map(r => (r.getString(0), r.getLong(1))).toMap
     val truth = docs.flatMap(_._2).groupBy(t => t.toString).view.mapValues(_.size.toLong).toMap
     val exactTop = truth.toSeq.sortBy { case (i, c) => (-c, i) }.take(20).map(_._1).toSet
@@ -113,7 +113,9 @@ class TopKAggregatorSpec extends AnyFunSuite {
       TopK.tokensArray(df, col("tokens"), cfg, mergeFanIn = fanIn)
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     val flat = res(1)
-    assert(flat.nonEmpty && flat == res(4) && flat == res(64))
+    // negative fanIn forces the tree (the auto cutover would pick flat for
+    // an input this small); 64 exercises the auto path (-> flat here)
+    assert(flat.nonEmpty && flat == res(-4) && flat == res(64))
     // counts are exact: compare against a plain explode + groupBy oracle
     val exact = df.select(explode(col("tokens")).as("t")).groupBy("t").count()
       .orderBy(col("count").desc, col("t").asc).limit(10)
