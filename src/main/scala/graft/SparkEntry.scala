@@ -35,8 +35,12 @@ object SparkEntry {
     val srcDir = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), s"graft_stream_src_$key")
     java.nio.file.Files.createDirectories(srcDir)
-    val link   = srcDir.resolve("events.parquet")
+    val link = srcDir.resolve("events.parquet")
+    // ABSOLUTE target: a relative `dir` would otherwise resolve against the
+    // /tmp link directory, not the caller's cwd — breaking every streaming
+    // query for `runMain graft.Verify testdata/sf0.001 out`-style invocations
     val target = java.nio.file.Paths.get(s"$dir/events.parquet")
+      .toAbsolutePath.normalize
     // a stale or hash-colliding link from an earlier run would silently feed
     // the stream the wrong table — verify the target and recreate on mismatch
     if (java.nio.file.Files.isSymbolicLink(link) &&
@@ -45,6 +49,33 @@ object SparkEntry {
     if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
       java.nio.file.Files.createSymbolicLink(link, target)
     srcDir
+  }
+
+  /** One checkpoint root per JVM, removed on exit — repeated Verify/Bench
+    * rounds must not accumulate unbounded /tmp state.
+    */
+  private lazy val ckptRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      try {
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      } catch { case _: Throwable => }
+    }))
+    p
+  }
+
+  private def newCheckpointDir(): String =
+    java.nio.file.Files.createTempDirectory(ckptRoot, "q").toString
+
+  /** Fresh memory-sink name; earlier runs' sink views with the same prefix
+    * are dropped first (memory sinks pin their rows in session memory).
+    */
+  private def freshSinkName(s: SparkSession, prefix: String): String = {
+    s.catalog.listTables().collect()
+      .filter(t => t.tableType == "TEMPORARY" && t.name.startsWith(prefix))
+      .foreach(t => s.catalog.dropTempView(t.name))
+    s"$prefix${System.nanoTime()}"
   }
 
   private def requireUtc(s: SparkSession): Unit =
@@ -287,8 +318,8 @@ object SparkEntry {
       val out = graft.streaming.TopKStreams.tumbling(
         src, windowDuration = "1 day", watermarkDelay = "0 seconds",
         SketchConfig.withDefaults(k = 3, width = 1024, depth = 3))
-      val name = s"stream_tumbling_${System.nanoTime()}"
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
+      val name = freshSinkName(s, "stream_tumbling_")
+      val ckpt = newCheckpointDir()
       val q = out.writeStream.format("memory").queryName(name)
         .outputMode("append").option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
@@ -316,8 +347,8 @@ object SparkEntry {
         graft.core.SlidingConfig.withDefaults(
           k = 5, width = 1024, depth = 3, windowSize = 7),
         emitK = 3)
-      val name = s"stream_sliding_${System.nanoTime()}"
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
+      val name = freshSinkName(s, "stream_sliding_")
+      val ckpt = newCheckpointDir()
       val q = out.writeStream.format("memory").queryName(name)
         .outputMode("append").option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
@@ -347,8 +378,8 @@ object SparkEntry {
       val out = graft.streaming.TopKStreams.session(
         src, gap = "1 hour", watermarkDelay = "0 seconds",
         SketchConfig.withDefaults(k = 2, width = 256, depth = 3))
-      val name = s"stream_sessions_${System.nanoTime()}"
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
+      val name = freshSinkName(s, "stream_sessions_")
+      val ckpt = newCheckpointDir()
       val q = out.writeStream.format("memory").queryName(name)
         .outputMode("append").option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
@@ -377,8 +408,8 @@ object SparkEntry {
           col("ts").cast("timestamp").as("ts"), col("event_type").as("payload"))
       val out = graft.streaming.StreamJoins.followsWithin(
         src(), src(), withinSeconds = 600L, watermarkDelay = "0 seconds")
-      val name = s"stream_join_${System.nanoTime()}"
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
+      val name = freshSinkName(s, "stream_join_")
+      val ckpt = newCheckpointDir()
       val q = out.writeStream.format("memory").queryName(name)
         .outputMode("append").option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()

@@ -40,11 +40,14 @@ object SqlFunctions {
       s"$name must be an integer literal, got $other")
   }
 
-  private def litFloat(e: Expression, default: Float): Float = e match {
-    case Literal(v: Double, _)  => v.toFloat
-    case Literal(v: Float, _)   => v
-    case Literal(v: Int, _)     => v.toFloat
-    case other                  => throw new IllegalArgumentException(
+  private def litFloat(e: Expression): Float = e match {
+    case Literal(v: Double, _) => v.toFloat
+    case Literal(v: Float, _)  => v
+    case Literal(v: Int, _)    => v.toFloat
+    // SQL `0.9` parses as a DECIMAL literal — the natural spelling of the
+    // decay argument must work, not just 0.9D/0.9F
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toFloat
+    case other                 => throw new IllegalArgumentException(
       s"decay must be a numeric literal, got $other")
   }
 
@@ -52,7 +55,7 @@ object SqlFunctions {
     val k     = litInt(args(from), "k")
     val width = if (args.length > from + 1) litInt(args(from + 1), "width") else -1
     val depth = if (args.length > from + 2) litInt(args(from + 2), "depth") else -1
-    val decay = if (args.length > from + 3) litFloat(args(from + 3), 0.9f) else 0.9f
+    val decay = if (args.length > from + 3) litFloat(args(from + 3)) else 0.9f
     SketchConfig.withDefaults(k, width = width, depth = depth, decay = decay)
   }
 
@@ -114,7 +117,16 @@ object SqlFunctions {
       graft.plans.XxHash32Expr(args.head, args(1))
     },
 
-    // sketch-algebra blob surface (store per-slice sketches, merge/query later)
+    // sketch-algebra blob surface (store per-slice sketches, merge/query
+    // later). The blob's heap tracks EXACTLY k candidates — k is the
+    // reference's user-visible Query/top-set size (topk_query(b, item) means
+    // "in the top k"), so no silent oversampling here. ACCURACY NOTE for
+    // merge-later pipelines: per-slice heaps of size k can drop an item that
+    // is top-k globally but not in any slice's local top-k; the row-emitting
+    // aggregates guard against this by tracking k×4 candidates internally.
+    // To get the same guarantee over blobs, build them with an oversampled k
+    // (e.g. topk_sketch(item, w, 40) for a top-10) and trim at emission with
+    // topk_rows(topk_merge(b), 10).
     "topk_sketch" -> { args =>
       require(args.length >= 3 && args.length <= 6,
         "usage: topk_sketch(item, weight, k[, width, depth[, decay]])")
