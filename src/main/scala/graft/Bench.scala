@@ -130,47 +130,74 @@ object Bench {
     }
 
     // --- driver-contract queries on the sf tables ---
-    // min-of-3 per query: the sandbox host intermittently loses most cycles
-    // to a co-tenant (identical cached jobs observed at 5-10x wall spread);
-    // the min is the better estimate of the uncontended cost. Round 2 proved
-    // min-of-2 insufficient (both runs of one query landed in the same noise
-    // window and published a 6x artifact).
+    // min-of-3 per query, with reps INTERLEAVED ACROSS QUERIES: pass 1 runs
+    // every query once, then pass 2, then pass 3. The sandbox host
+    // intermittently loses most cycles to a co-tenant for minutes at a time
+    // (identical cached jobs observed at 5-10x wall spread); back-to-back
+    // reps of one query all land inside one such window (round 3 published
+    // 8-40x artifacts on six queries that way), while interleaved passes put
+    // ~the full surface's runtime between a query's reps, so one contended
+    // window inflates ONE rep of many queries instead of ALL reps of a few.
     val errors    = scala.collection.mutable.ArrayBuffer.empty[String]
     val prevTimes = readPrevBenchTimes(sfDir)
-    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
-        val (ok, sec) = time {
-          try { fn(spark, sfDir).collect(); true }
-          catch { case e: Throwable => errors += s"$name: ${e.getClass.getSimpleName}"; false }
-        }
-        // a failed query must not masquerade as a fast success
-        if (ok) sec else -1.0
+    val names     = SparkEntry.queries.keys.toSeq.sorted
+    def runOnce(name: String): Double = {
+      val fn = SparkEntry.queries(name)
+      val (ok, sec) = time {
+        try { fn(spark, sfDir).collect(); true }
+        catch { case e: Throwable => errors += s"$name: ${e.getClass.getSimpleName}"; false }
       }
-      // min over the SUCCESSFUL runs (a flaky later run still lands in
-      // `errors` but must not erase an earlier run's valid timing)
-      var best = once()
-      var rep  = 1
-      while (best >= 0 && rep < 3) { val s = once(); if (s >= 0) best = math.min(best, s); rep += 1 }
-      // outlier guard: a best time >3x the previous round's published value
-      // means every rep hit a contended window — wait it out and re-measure
-      // (up to 2 extra attempts) rather than publish a noise artifact
-      prevTimes.get(name).foreach { prev =>
-        var extra = 0
-        while (best >= 0 && prev > 0 && best > 3 * prev && best > 1.0 && extra < 2) {
-          Thread.sleep(15000)
-          val s = once(); if (s >= 0) best = math.min(best, s); extra += 1
-        }
-      }
-      name -> best
+      // a failed query must not masquerade as a fast success
+      if (ok) sec else -1.0
     }
+    // min over the SUCCESSFUL runs (a flaky later run still lands in
+    // `errors` but must not erase an earlier run's valid timing)
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    def record(name: String, s: Double): Unit =
+      if (s >= 0) best(name) = math.min(best.getOrElse(name, Double.MaxValue), s)
+      else if (!best.contains(name)) best(name) = -1.0
+    for (pass <- 1 to 3; name <- names)
+      if (pass == 1 || best.getOrElse(name, -1.0) >= 0) record(name, runOnce(name))
+    // final re-measure pass: any query whose min is still >3x its known
+    // floor (previous artifact / local isolated baseline) gets up to 2 more
+    // attempts after a cool-down — the last defense against a contended
+    // window spanning an entire pass. Queries resampled here are published
+    // in the artifact ("resampled") so a reader knows which entries leaned
+    // on the floor-guard rather than landing clean in three passes.
+    val resampled = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (name <- names) {
+      val b = best.getOrElse(name, -1.0)
+      prevTimes.get(name).foreach { prev =>
+        if (b >= 0 && prev > 0 && b > 3 * prev && b > 1.0) {
+          resampled += name
+          var extra = 0
+          while (extra < 2 && best(name) > 3 * prev && best(name) > 1.0) {
+            Thread.sleep(15000)
+            record(name, runOnce(name)); extra += 1
+          }
+        }
+      }
+    }
+    val queryTimes = names.map(n => n -> best.getOrElse(n, -1.0))
 
     // --- token throughput on the synthetic sequence table ---
     val (dir, nTokens) = ensureBenchTable(spark)
     tokenTopK(spark, dir, cfgLight) // warmup (JIT + page cache)
-    val lightSec   = (1 to 3).map(_ => time(tokenTopK(spark, dir, cfgLight))._2).min
-    val heavySec   = (1 to 3).map(_ => time(tokenTopK(spark, dir, cfgHeavy))._2).min
-    val explodeSec = (1 to 3).map(_ => time(tokenTopKExplode(spark, dir, cfgLight))._2).min
-    val exactSec   = (1 to 3).map(_ => time(tokenExact(spark, dir, 100))._2).min
+    // same interleave discipline as the query surface: one pass of all four
+    // jobs, three times, min per job
+    val tokenJobs: Seq[(String, () => Unit)] = Seq(
+      "light"   -> (() => { tokenTopK(spark, dir, cfgLight); () }),
+      "heavy"   -> (() => { tokenTopK(spark, dir, cfgHeavy); () }),
+      "explode" -> (() => { tokenTopKExplode(spark, dir, cfgLight); () }),
+      "exact"   -> (() => { tokenExact(spark, dir, 100); () }))
+    val tokenBest = scala.collection.mutable.Map.empty[String, Double]
+      .withDefaultValue(Double.MaxValue)
+    for (_ <- 1 to 3; (n, f) <- tokenJobs)
+      tokenBest(n) = math.min(tokenBest(n), time(f())._2)
+    val lightSec   = tokenBest("light")
+    val heavySec   = tokenBest("heavy")
+    val explodeSec = tokenBest("explode")
+    val exactSec   = tokenBest("exact")
 
     val all = queryTimes ++ Seq(
       "tokens_topk_k10_w1024_d3"  -> lightSec,
@@ -182,8 +209,9 @@ object Bench {
     val total = all.map(_._2).filter(_ >= 0).sum
     val tokPerSec = (nTokens / lightSec).toLong
     val errJson = errors.map(e => "\"" + e + "\"").mkString("[", ",", "]")
+    val resJson = resampled.map(e => "\"" + e + "\"").mkString("[", ",", "]")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","tokens":$nTokens%d,"tokens_per_sec":$tokPerSec%d,"cpus":$cpus%s,"errors":$errJson%s}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","tokens":$nTokens%d,"tokens_per_sec":$tokPerSec%d,"cpus":$cpus%s,"resampled":$resJson%s,"errors":$errJson%s}""")
     spark.stop()
   }
 }

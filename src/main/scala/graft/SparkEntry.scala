@@ -42,10 +42,18 @@ object SparkEntry {
     val target = java.nio.file.Paths.get(s"$dir/events.parquet")
       .toAbsolutePath.normalize
     // a stale or hash-colliding link from an earlier run would silently feed
-    // the stream the wrong table — verify the target and recreate on mismatch
-    if (java.nio.file.Files.isSymbolicLink(link) &&
-        java.nio.file.Files.readSymbolicLink(link) != target)
-      java.nio.file.Files.delete(link)
+    // the stream the wrong table — verify the target and recreate on mismatch.
+    // Also guard against a plain file/dir squatting on the link path (e.g. a
+    // copy from an earlier run): anything that is not a symlink to `target`
+    // gets removed before we (re)create the link.
+    if (java.nio.file.Files.isSymbolicLink(link)) {
+      if (java.nio.file.Files.readSymbolicLink(link) != target)
+        java.nio.file.Files.delete(link)
+    } else if (java.nio.file.Files.exists(link,
+        java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+      java.nio.file.Files.walk(link).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+    }
     if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
       java.nio.file.Files.createSymbolicLink(link, target)
     srcDir

