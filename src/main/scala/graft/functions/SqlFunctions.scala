@@ -25,6 +25,21 @@ import org.apache.spark.sql.types.{LongType, StringType}
   *   -- session-window top-K composes from built-ins (no bespoke function):
   *   SELECT user, session_window(ts, '1 hour'), topk_items(item, w, 3)
   *   FROM events GROUP BY user, session_window(ts, '1 hour')
+  *   -- DISTRIBUTED sliding plan in SQL (one scan of the fact table): the
+  *   -- `topk_sliding` aggregate above funnels each group through one buffer
+  *   -- (fine for bounded tick ranges per group); the scale path is the same
+  *   -- composition as graft.operators.SlidingTopK.perTick — per-tick blobs,
+  *   -- exploded contribution ranges, and a LITERAL ticks table (ticks are
+  *   -- time-derived, so the output tick set is known a priori; deriving it
+  *   -- from the input would cost a second scan):
+  *   WITH per_tick AS (SELECT tick, topk_sketch(item, w, 40) sk FROM t GROUP BY tick),
+  *   ticks AS (SELECT explode(sequence(0L, 9L)) out_tick),          -- literal
+  *   win AS (SELECT c.out_tick, c.sk
+  *           FROM (SELECT explode(sequence(tick, tick + 6)) out_tick, sk
+  *                 FROM per_tick) c
+  *           LEFT SEMI JOIN ticks USING (out_tick))
+  *   SELECT out_tick, explode(topk_rows(topk_merge(sk), 10))
+  *   FROM win GROUP BY out_tick
   * }}}
   *
   * Geometry arguments are literal ints: (k[, width, depth[, decay]]);

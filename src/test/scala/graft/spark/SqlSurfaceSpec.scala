@@ -71,6 +71,52 @@ class SqlSurfaceSpec extends AnyFunSuite {
       ("k2", 0L, "z", 1L), ("k2", 2L, "z", 1L)))
   }
 
+  test("distributed sliding composition in SQL scans the input ONCE (literal ticks)") {
+    // the scale-path SQL composition documented in SqlFunctions: per-tick
+    // blobs -> exploded contribution range -> semi-join a LITERAL ticks table
+    // -> merge per out_tick. The literal tick side must keep the plan at one
+    // scan of the fact table; results must match the dataflow operator.
+    val dir = java.nio.file.Files.createTempDirectory("graft_sql_sliding").toString
+    val rows = for {
+      tick <- 0L to 9L
+      (item, n) <- Seq("a" -> (tick + 1), "b" -> 2L, "c" -> 1L)
+      _ <- 1L to n
+    } yield (tick, item)
+    rows.toDF("tick", "item").write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir).createOrReplaceTempView("sliding_pq")
+
+    val q = spark.sql(
+      """WITH per_tick AS (
+        |  SELECT tick, topk_sketch(item, 1L, 8, 1024, 3) AS sk
+        |  FROM sliding_pq GROUP BY tick),
+        |ticks AS (SELECT explode(sequence(0L, 9L)) AS out_tick),
+        |win AS (
+        |  SELECT c.out_tick, c.sk
+        |  FROM (SELECT explode(sequence(tick, tick + 2)) AS out_tick, sk
+        |        FROM per_tick) c
+        |  LEFT SEMI JOIN ticks USING (out_tick))
+        |SELECT out_tick AS tick, e.item, e.count
+        |FROM (SELECT out_tick, explode(topk_rows(topk_merge(sk), 2)) AS e
+        |      FROM win GROUP BY out_tick)
+        |ORDER BY tick, e.count DESC, e.item""".stripMargin)
+
+    val planStr = q.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(planStr).size
+    assert(scans == 1, s"expected exactly one parquet scan, got $scans:\n$planStr")
+
+    val got = q.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val fns = org.apache.spark.sql.functions
+    val op = graft.operators.SlidingTopK.perTick(
+        spark.table("sliding_pq"), fns.col("tick"), fns.col("item"), fns.lit(1L),
+        windowTicks = 3,
+        cfg = graft.core.SketchConfig.withDefaults(8, width = 1024, depth = 3),
+        k = 2, knownTicks = Some(0L to 9L))
+      .orderBy(fns.col("tick"), fns.col("count").desc, fns.col("item"))
+      .select("tick", "item", "count")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == op.toSeq)
+  }
+
   test("session top-K composes in SQL from session_window + topk_items") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def ts(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000L)
