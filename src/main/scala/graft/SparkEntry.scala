@@ -193,6 +193,19 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) =>
       graft.operators.Dedup.exactSurvivors(documents(s, dir), col("doc_id"), col("text"))),
 
+    // the synthetic corpus has no duplicate texts, so plant deterministic
+    // exact copies (every 7th doc re-tagged with doc_id + 100000); the oracle
+    // applies the identical union, making the group check non-vacuous
+    "dedup_exact_groups" -> ((s, dir) => {
+      val docs = documents(s, dir)
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val dups = docs.where(pmod(col("doc_id"), lit(7)) === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      graft.operators.Dedup.exactDupGroups(docs.unionAll(dups), col("doc_id"), col("text"))
+        .select(col("survivor_id"),
+          array_join(col("doc_ids"), ",").as("doc_ids"), col("n_copies"))
+    }),
+
     "dedup_minhash_jaccard" -> ((s, dir) => {
       val docs = documents(s, dir).select(col("doc_id").cast("long").as("doc_id"), col("text"))
       val candidates = graft.operators.Dedup.minhashLshPairs(
@@ -293,6 +306,33 @@ object SparkEntry {
       graft.operators.Multimodal.sampleFrames(media, nFrames = 8)
         .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
           length(col("frame_bytes")).cast("long").as("frame_len"))
+    }),
+
+    // feature extraction over the stub codec: every emitted value is m/2^20,
+    // exact in float32, so quantizing by 2^20 recovers the integer stream
+    // losslessly and the oracle re-derives it in plain BIGINT SQL — a full
+    // differential check of the decode plumbing, not just row counts
+    "multimodal_features" -> ((s, dir) => {
+      val media = graft.operators.Multimodal.syntheticMediaTable(
+        documents(s, dir), col("doc_id"), col("text"))
+      media.select(col("doc_id"),
+          posexplode(graft.operators.Multimodal.extractFeatures(8)(col("payload")))
+            .as(Seq("feat_idx", "f")))
+        .select(col("doc_id"), col("feat_idx").cast("long").as("feat_idx"),
+          round(col("f").cast("double") * 1048576.0).cast("long").as("feat_q"))
+    }),
+
+    // resize = stub decode of a 4x oversampled stream + strided mean pooling;
+    // pooled means are M/2^22 with M < 2^22 (exact in float32), so x 2^22
+    // quantization is lossless on both engines
+    "multimodal_resize" -> ((s, dir) => {
+      val media = graft.operators.Multimodal.syntheticMediaTable(
+        documents(s, dir), col("doc_id"), col("text"))
+      media.select(col("doc_id"),
+          posexplode(graft.operators.Multimodal.resize(4, 2)(col("payload")))
+            .as(Seq("px_idx", "f")))
+        .select(col("doc_id"), col("px_idx").cast("long").as("px_idx"),
+          round(col("f").cast("double") * 4194304.0).cast("long").as("px_q"))
     }),
 
     // session windows: per-user activity sessions (1h inactivity gap),
@@ -505,6 +545,17 @@ object SparkEntry {
       """SELECT min(doc_id) AS survivor_id, count(*) AS n_copies
          FROM documents GROUP BY text""",
 
+    "dedup_exact_groups" ->
+      """WITH all_docs AS (
+           SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+           UNION ALL
+           SELECT CAST(doc_id AS BIGINT) + 100000, text FROM documents
+           WHERE doc_id % 7 = 0)
+         SELECT min(doc_id) AS survivor_id,
+                string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids,
+                count(*) AS n_copies
+         FROM all_docs GROUP BY text HAVING count(*) > 1""",
+
     "dedup_minhash_jaccard" ->
       """WITH sh AS (
            SELECT doc_id,
@@ -663,6 +714,36 @@ object SparkEntry {
                 CAST(least(f * fsize + fsize, plen) - f * fsize AS BIGINT) AS frame_len
          FROM m, range(0, 8) t(f)
          WHERE f < least(8, plen)""",
+
+    "multimodal_features" ->
+      """WITH base AS (
+           SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                  list_reduce(
+                    list_prepend(CAST(0 AS BIGINT),
+                      [CAST(ord(substr(text, i, 1)) AS BIGINT) FOR i IN range(1, len(text) + 1)]),
+                    (a, b) -> (a + b) % 2147483647) AS b
+           FROM documents)
+         SELECT doc_id, CAST(i AS BIGINT) AS feat_idx,
+                ((((b + i + 1) * 2654435761 + 40503 * i) % 2147483648)
+                  * 48271 % 2147483647) // 2048 AS feat_q
+         FROM base, range(0, 8) t(i)""",
+
+    "multimodal_resize" ->
+      """WITH base AS (
+           SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                  list_reduce(
+                    list_prepend(CAST(0 AS BIGINT),
+                      [CAST(ord(substr(text, i, 1)) AS BIGINT) FOR i IN range(1, len(text) + 1)]),
+                    (a, b) -> (a + b) % 2147483647) AS b
+           FROM documents),
+         px AS (
+           SELECT doc_id, i // 4 AS px_idx,
+                  ((((b + i + 1) * 2654435761 + 40503 * i) % 2147483648)
+                    * 48271 % 2147483647) // 2048 AS m
+           FROM base, range(0, 32) t(i))
+         SELECT doc_id, CAST(px_idx AS BIGINT) AS px_idx,
+                CAST(sum(m) AS BIGINT) AS px_q
+         FROM px GROUP BY doc_id, px_idx""",
 
     "topk_sessions" ->
       """WITH o AS (

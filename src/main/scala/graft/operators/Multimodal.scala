@@ -1,6 +1,5 @@
 package graft.operators
 
-import graft.core.XxHash32
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -54,23 +53,29 @@ object Multimodal {
       ).as("meta"))
 
   /** STUB codec: a real deployment replaces this with an actual image/audio
-    * decode (e.g. via JNI codecs or columnar Arrow handoff). Deterministic:
-    * "pixels" are a seeded-hash stream over the payload. Marked stub per the
-    * sandbox contract (no media libraries in this container).
+    * decode (e.g. via JNI codecs or columnar Arrow handoff). Marked stub per
+    * the sandbox contract (no media libraries in this container).
+    *
+    * Deterministic and LINEAR in payload + n: one pass sums the payload bytes
+    * into a seed (the same mod 2^31-1 checksum as [[mediaStats]]), then a
+    * Lehmer-style integer stream generates the "pixels". All arithmetic stays
+    * inside non-negative 63-bit longs and every emitted value is m/2^20 with
+    * m < 2^20 — EXACTLY representable in float32 — so the whole stub is
+    * recomputable in plain SQL (BIGINT ops, no wrap-around) and the driver
+    * oracle can differentially verify feature extraction end-to-end.
     */
   private[operators] def fakeDecode(payload: Array[Byte], n: Int): Array[Float] = {
-    // LINEAR in payload + n: ONE full-payload hash seeds a SplitMix64 value
-    // stream (the old version re-hashed the whole payload per output element
-    // — O(len²), a hang on megabyte payloads)
-    val base = XxHash32.hash(payload, 7).toLong & 0xffffffffL
-    val out  = new Array[Float](n)
-    var i    = 0
+    var base = 0L
+    var j    = 0
+    while (j < payload.length) { base = (base + (payload(j) & 0xff)) % 2147483647L; j += 1 }
+    val out = new Array[Float](n)
+    var i   = 0
     while (i < n) {
-      var z = (base << 32 | i.toLong) + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^= z >>> 31
-      out(i) = ((z >>> 40).toDouble / (1 << 24).toDouble).toFloat
+      // (base + i + 1) < 2^31 + n; * 2654435761 < 2^63 — no Long overflow,
+      // and no BIGINT overflow in an oracle re-computation either
+      val k = ((base + i + 1L) * 2654435761L + 40503L * i) % 2147483648L
+      val w = (k * 48271L) % 2147483647L
+      out(i) = (w >> 11).toFloat / 1048576.0f
       i += 1
     }
     out
