@@ -110,17 +110,13 @@ object TopKStreams {
     val spark = updates.sparkSession
     import spark.implicits._
 
-    // the watermarked ts column must flow into the stateful operator itself
-    // (Spark's event-time-timeout check requires it), so keep it typed.
     // Null rows are dropped AFTER the casts — a cast can itself produce null
     // (decimal overflow, non-numeric strings), and such a row must degrade
     // to a drop, not kill the query in the non-nullable tuple encoder.
-    // NOTE: the filter may be pushed below the watermark operator, so
-    // dropped rows do not advance event time — that's the documented
+    // Dropped rows do not advance event time — that's the documented
     // semantic. Non-positive weights stay (they must advance the watermark,
     // e.g. heartbeat rows) and become no-ops inside the state function.
     val typed = updates
-      .withWatermark("ts", watermarkDelay)
       .select(
         col("key").cast("string").as("_1"),
         col("ts").as("_2"),
@@ -131,7 +127,41 @@ object TopKStreams {
         col("_3").isNotNull && col("_4").isNotNull)
       .as[(String, java.sql.Timestamp, String, Long)]
 
-    typed
+    // Map-side partial reduce WITHIN the micro-batch (stateless, so it is
+    // legal upstream of the stateful operator): sum weights per
+    // (key, tick, item) per partition before the groupByKey shuffle. The
+    // state machine itself already sums pending updates per (tick, item), so
+    // this only moves that reduction map-side — shuffle rows and per-batch
+    // state-codec work drop from O(events) to O(distinct (key, tick, item))
+    // per partition, the difference between shuffling every token and
+    // shuffling a vocabulary. Semantics preserved exactly:
+    //  - weight: only positive raw weights accumulate (the state function's
+    //    per-row `weight > 0` no-op rule), but the group row is emitted even
+    //    at weight 0 so heartbeat rows still advance the watermark;
+    //  - ts: the group's max timestamp — per-batch event-time stats (and so
+    //    the watermark) see the same maximum as the raw rows.
+    val reduced = typed.mapPartitions { rows =>
+      val agg = new java.util.HashMap[(String, Long, String), Array[Long]]()
+      rows.foreach { case (k, ts, item, w) =>
+        val tsm  = ts.getTime
+        val cell = agg.computeIfAbsent((k, Math.floorDiv(tsm, tickMillis), item),
+          _ => Array(Long.MinValue, 0L))
+        if (tsm > cell(0)) cell(0) = tsm
+        if (w > 0) cell(1) += w
+      }
+      import scala.jdk.CollectionConverters._
+      agg.entrySet().iterator().asScala.map { e =>
+        (e.getKey._1, new java.sql.Timestamp(e.getValue()(0)), e.getKey._3,
+          e.getValue()(1))
+      }
+    }
+
+    // the watermarked ts column must flow into the stateful operator itself
+    // (Spark's event-time-timeout check requires it) — and the object
+    // boundary of mapPartitions strips attribute metadata, so the watermark
+    // is declared on the REDUCED rows (same per-batch max ts, see above)
+    reduced
+      .withWatermark("_2", watermarkDelay)
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         processSlidingGroup(cfg, tickMillis, emitK))
