@@ -91,6 +91,31 @@ object SparkEntry {
       "stream queries cast TIMESTAMP_NTZ event time and align day windows; " +
         "run with spark.sql.session.timeZone=UTC (Verify/Bench set it)")
 
+  /** State partitions for the bounded-state streaming queries at bench SFs.
+    *
+    * A streaming query's state-store count is fixed at its FIRST start by
+    * `spark.sql.shuffle.partitions`; each partition opens and commits its
+    * store(s) every micro-batch (a stream-stream join keeps FOUR stores per
+    * partition), so partitions should be sized to the STATE, not to the
+    * session's scan parallelism. Measured on stream_join_follows at sf0.1
+    * (tools/ProfileStreamJoin, min-of-2 interleaved): 32 partitions = 5.9 s
+    * wall with 85 s of cumulative store-commit time; 8 partitions = 2.6 s
+    * with 3.7 s. At production state sizes (GBs per store) this dial moves
+    * the other way — raise it until per-store state fits executor memory.
+    */
+  private val StreamStatePartitions = 8
+
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily overridden
+    * (restored after): the override must be in force when the streaming
+    * query inside `body` first starts, and must not leak into subsequent
+    * batch queries.
+    */
+  private def withShufflePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("topk_event_types")(spark, "/root/testdata/sf0.001")
@@ -360,21 +385,23 @@ object SparkEntry {
       // watermarks require TIMESTAMP (the testdata is NTZ; session tz is UTC
       // so the cast is value-preserving — cast back for oracle parity below)
       requireUtc(s)
-      val src = s.readStream.schema(schema).parquet(streamSourceDir(dir).toString)
-        .select(col("ts").cast("timestamp").as("ts"),
-          col("event_type").as("item"), lit(1L).as("weight"))
-      val out = graft.streaming.TopKStreams.tumbling(
-        src, windowDuration = "1 day", watermarkDelay = "0 seconds",
-        SketchConfig.withDefaults(k = 3, width = 1024, depth = 3))
-      val name = freshSinkName(s, "stream_tumbling_")
-      val ckpt = newCheckpointDir()
-      val q = out.writeStream.format("memory").queryName(name)
-        .outputMode("append").option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      s.table(name)
-        .select(col("window.start").cast("timestamp_ntz").as("day"),
-          col("rank"), col("item"), col("count"))
+      withShufflePartitions(s, StreamStatePartitions) {
+        val src = s.readStream.schema(schema).parquet(streamSourceDir(dir).toString)
+          .select(col("ts").cast("timestamp").as("ts"),
+            col("event_type").as("item"), lit(1L).as("weight"))
+        val out = graft.streaming.TopKStreams.tumbling(
+          src, windowDuration = "1 day", watermarkDelay = "0 seconds",
+          SketchConfig.withDefaults(k = 3, width = 1024, depth = 3))
+        val name = freshSinkName(s, "stream_tumbling_")
+        val ckpt = newCheckpointDir()
+        val q = out.writeStream.format("memory").queryName(name)
+          .outputMode("append").option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(name)
+          .select(col("window.start").cast("timestamp_ntz").as("day"),
+            col("rank"), col("item"), col("count"))
+      }
     }),
 
     // Streaming SLIDING engine end-to-end: the reference's tick-ring state
@@ -387,24 +414,26 @@ object SparkEntry {
       import org.apache.spark.sql.streaming.Trigger
       val schema = events(s, dir).schema
       requireUtc(s)
-      val src = s.readStream.schema(schema).parquet(streamSourceDir(dir).toString)
-        .select(lit("all").as("key"), col("ts").cast("timestamp").as("ts"),
-          col("event_type").as("item"), lit(1L).as("weight"))
-      val out = graft.streaming.TopKStreams.sliding(
-        src, tickMillis = 86400000L, watermarkDelay = "0 seconds",
-        graft.core.SlidingConfig.withDefaults(
-          k = 5, width = 1024, depth = 3, windowSize = 7),
-        emitK = 3)
-      val name = freshSinkName(s, "stream_sliding_")
-      val ckpt = newCheckpointDir()
-      val q = out.writeStream.format("memory").queryName(name)
-        .outputMode("append").option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      s.table(name)
-        .select((col("tick") - datediff(to_date(lit("2024-01-01")), to_date(lit("1970-01-01"))))
-            .as("tick"),
-          col("rank").cast("long").as("rank"), col("item"), col("count"))
+      withShufflePartitions(s, StreamStatePartitions) {
+        val src = s.readStream.schema(schema).parquet(streamSourceDir(dir).toString)
+          .select(lit("all").as("key"), col("ts").cast("timestamp").as("ts"),
+            col("event_type").as("item"), lit(1L).as("weight"))
+        val out = graft.streaming.TopKStreams.sliding(
+          src, tickMillis = 86400000L, watermarkDelay = "0 seconds",
+          graft.core.SlidingConfig.withDefaults(
+            k = 5, width = 1024, depth = 3, windowSize = 7),
+          emitK = 3)
+        val name = freshSinkName(s, "stream_sliding_")
+        val ckpt = newCheckpointDir()
+        val q = out.writeStream.format("memory").queryName(name)
+          .outputMode("append").option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(name)
+          .select((col("tick") - datediff(to_date(lit("2024-01-01")), to_date(lit("1970-01-01"))))
+              .as("tick"),
+            col("rank").cast("long").as("rank"), col("item"), col("count"))
+      }
     }),
 
     // Streaming SESSION windows end-to-end (completes the window triad's
@@ -419,24 +448,26 @@ object SparkEntry {
       import org.apache.spark.sql.streaming.Trigger
       val schema = events(s, dir).schema
       requireUtc(s)
-      val src = s.readStream.schema(schema).parquet(streamSourceDir(dir).toString)
-        .select(col("user_id").cast("long").as("key"),
-          col("ts").cast("timestamp").as("ts"),
-          col("event_type").as("item"), lit(1L).as("weight"))
-      val out = graft.streaming.TopKStreams.session(
-        src, gap = "1 hour", watermarkDelay = "0 seconds",
-        SketchConfig.withDefaults(k = 2, width = 256, depth = 3))
-      val name = freshSinkName(s, "stream_sessions_")
-      val ckpt = newCheckpointDir()
-      val q = out.writeStream.format("memory").queryName(name)
-        .outputMode("append").option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      s.table(name)
-        .select(col("key").as("user_id"),
-          col("session_start").cast("timestamp_ntz").as("session_start"),
-          col("session_end").cast("timestamp_ntz").as("session_end"),
-          col("rank"), col("item"), col("count"))
+      withShufflePartitions(s, StreamStatePartitions) {
+        val src = s.readStream.schema(schema).parquet(streamSourceDir(dir).toString)
+          .select(col("user_id").cast("long").as("key"),
+            col("ts").cast("timestamp").as("ts"),
+            col("event_type").as("item"), lit(1L).as("weight"))
+        val out = graft.streaming.TopKStreams.session(
+          src, gap = "1 hour", watermarkDelay = "0 seconds",
+          SketchConfig.withDefaults(k = 2, width = 256, depth = 3))
+        val name = freshSinkName(s, "stream_sessions_")
+        val ckpt = newCheckpointDir()
+        val q = out.writeStream.format("memory").queryName(name)
+          .outputMode("append").option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(name)
+          .select(col("key").as("user_id"),
+            col("session_start").cast("timestamp_ntz").as("session_start"),
+            col("session_end").cast("timestamp_ntz").as("session_end"),
+            col("rank"), col("item"), col("count"))
+      }
     }),
 
     // STATEFUL stream-stream join (north-rule surface): watermarked
@@ -451,20 +482,22 @@ object SparkEntry {
       import org.apache.spark.sql.streaming.Trigger
       val schema = events(s, dir).schema
       requireUtc(s)
-      def src() = s.readStream.schema(schema).parquet(streamSourceDir(dir).toString)
-        .select(col("user_id").cast("long").as("key"),
-          col("ts").cast("timestamp").as("ts"), col("event_type").as("payload"))
-      val out = graft.streaming.StreamJoins.followsWithin(
-        src(), src(), withinSeconds = 600L, watermarkDelay = "0 seconds")
-      val name = freshSinkName(s, "stream_join_")
-      val ckpt = newCheckpointDir()
-      val q = out.writeStream.format("memory").queryName(name)
-        .outputMode("append").option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      s.table(name).select(col("key").as("user_id"),
-        col("ts_a").cast("timestamp_ntz").as("ts_a"), col("payload_a").as("type_a"),
-        col("ts_b").cast("timestamp_ntz").as("ts_b"), col("payload_b").as("type_b"))
+      withShufflePartitions(s, StreamStatePartitions) {
+        def src() = s.readStream.schema(schema).parquet(streamSourceDir(dir).toString)
+          .select(col("user_id").cast("long").as("key"),
+            col("ts").cast("timestamp").as("ts"), col("event_type").as("payload"))
+        val out = graft.streaming.StreamJoins.followsWithin(
+          src(), src(), withinSeconds = 600L, watermarkDelay = "0 seconds")
+        val name = freshSinkName(s, "stream_join_")
+        val ckpt = newCheckpointDir()
+        val q = out.writeStream.format("memory").queryName(name)
+          .outputMode("append").option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(name).select(col("key").as("user_id"),
+          col("ts_a").cast("timestamp_ntz").as("ts_a"), col("payload_a").as("type_a"),
+          col("ts_b").cast("timestamp_ntz").as("ts_b"), col("payload_b").as("type_b"))
+      }
     }),
 
     // membership surface: Query(item) as a semi-join against the top-K
