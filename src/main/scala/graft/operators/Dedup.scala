@@ -106,9 +106,15 @@ object Dedup {
       .where(size(col("sig")) > 0)
       .select(col("doc_id"), col("sig"))
 
-    // band key = xxhash64 over the band's slice of the signature
+    // band key = xxhash64 over the band's slice of the signature. The banded
+    // rows are SLIM — (doc_id, band, band_hash), 24 bytes — the signature
+    // does NOT ride the band explosion: at n docs × bands rows a 128-slot
+    // sig per row turns the self-join exchange into n × bands × ~520 B,
+    // which is a measured sort-spill cliff at scale (500k docs: ~16M banded
+    // rows ≈ 20 GB sorted, 361 s; slim banding + sig-join-after-distinct:
+    // 23 s — BENCH.md scale rehearsal).
     val banded = sigs.select(
-      col("doc_id"), col("sig"),
+      col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
         xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))).as(Seq("band", "band_hash")))
 
@@ -116,19 +122,26 @@ object Dedup {
     // is computed once and reused — ReusedExchange — instead of running the
     // shingle+minhash UDF pipeline twice); the shuffle_merge hint blocks AQE
     // from broadcasting one side, which would both duplicate the UDF pipeline
-    // AND ship every signature to every task. The estimate and
-    // threshold-filter run BEFORE dedup, so the distinct shuffles only
-    // (a, b, est_jaccard) — 24 bytes — instead of two 128-slot signatures
-    banded.as("l").hint("shuffle_merge")
+    // AND ship every band key to every task. Candidate pairs dedup FIRST
+    // (near-dups collide in many bands; the estimate must not be computed
+    // per colliding band), then the signatures join back once per pair —
+    // two hash joins against the n-row sig table instead of sigs through
+    // the n × bands band exchange.
+    val cands = banded.as("l").hint("shuffle_merge")
       .join(banded.as("r").hint("shuffle_merge"),
         col("l.band") === col("r.band") && col("l.band_hash") === col("r.band_hash")
           && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+      .distinct()
+
+    cands
+      .join(sigs.select(col("doc_id").as("a"), col("sig").as("sig_a")), Seq("a"))
+      .join(sigs.select(col("doc_id").as("b"), col("sig").as("sig_b")), Seq("b"))
       .withColumn("est_jaccard",
-        size(filter(zip_with(col("l.sig"), col("r.sig"), (x, y) => x === y), m => m))
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), m => m))
           .cast("double") / numHashes)
       .where(col("est_jaccard") >= threshold)
-      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"), col("est_jaccard"))
-      .distinct()
+      .select(col("a"), col("b"), col("est_jaccard"))
   }
 
   /** Exact n-gram (character shingle) Jaccard for given candidate pairs —

@@ -189,33 +189,67 @@ object Similarity {
     val c = corpus.select(corpusId.cast("long").as("neighbor_id"), corpusVec.as("cvec"))
       .withColumn("cn", sqrt(VecDot(col("cvec"), col("cvec"))))
       .where(col("cn") > 0) // see cosineTopK: NaN-guard for zero vectors
-    // deterministic training-free coarse quantizer
-    val centroids = c
+    // Deterministic training-free coarse quantizer. The centroid set is TINY
+    // (nCells × dim floats) and functionally a trained model artifact, so it
+    // is collected and shipped in the assignment UDFs' closures — the
+    // standard IVF shape (train offline, assign map-side). Assignment is
+    // then a pure per-row argmax: ONE corpus scan, no shuffle — the previous
+    // broadcast-cross + per-row window put n × nCells rows through a window
+    // sort (measured 23.5 s at 1M×256 vs 5.9 s map-side, BENCH.md).
+    // Cells iterate in ascending id order with strict > replacement, so
+    // exact-tie behavior matches the old (cell_sim DESC, cell ASC) window.
+    val centArr: Array[(Long, Array[Float], Double)] = c
       .withColumn("_h", xxhash64(col("neighbor_id")))
       .orderBy(col("_h"))
       .limit(nCells)
-      .select(col("neighbor_id").as("cell"), col("cvec").as("centroid"), col("cn").as("cen_n"))
-    // nearest-cell assignment: tiny broadcast cross, rank 1 per corpus row
-    val byRow = Window.partitionBy(col("neighbor_id"))
-      .orderBy(col("cell_sim").desc, col("cell").asc)
-    val assigned = c.crossJoin(broadcast(centroids))
-      .withColumn("cell_sim",
-        VecDot(col("cvec"), col("centroid")) / (col("cn") * col("cen_n")))
-      .withColumn("_r", row_number().over(byRow))
-      .where(col("_r") === 1)
+      .select(col("neighbor_id"), col("cvec"), col("cn"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    if (centArr.isEmpty)
+      return queries.select(queryId.cast("long").as("query_id"))
+        .select(col("query_id"), lit(0L).as("rank"),
+          col("query_id").as("neighbor_id"), lit(0.0).as("similarity"))
+        .where(lit(false))
+    // per-cell sims normalized by the CENTROID norm only: the row's own norm
+    // is a positive constant across cells, so dropping it preserves both the
+    // argmax and the probe ordering (same left-to-right double accumulation
+    // as VecDot)
+    def cellSims(v: Array[Float]): Array[Double] = {
+      val sims = new Array[Double](centArr.length)
+      var ci = 0
+      while (ci < centArr.length) {
+        val cent = centArr(ci)._2
+        var acc  = 0.0
+        var i    = 0
+        val n    = math.min(cent.length, v.length)
+        while (i < n) { acc += v(i).toDouble * cent(i).toDouble; i += 1 }
+        sims(ci) = acc / centArr(ci)._3
+        ci += 1
+      }
+      sims
+    }
+    val assignUdf = udf { (v: Array[Float]) =>
+      val sims = cellSims(v)
+      var best = 0
+      var i    = 1
+      while (i < sims.length) { if (sims(i) > sims(best)) best = i; i += 1 }
+      centArr(best)._1
+    }
+    val probeUdf = udf { (v: Array[Float]) =>
+      val sims = cellSims(v)
+      centArr.indices.toArray
+        .sortBy(i => (-sims(i), centArr(i)._1))
+        .take(nProbe).map(i => centArr(i)._1)
+    }
+    val assigned = c.withColumn("cell", assignUdf(col("cvec")))
       .select(col("cell"), col("neighbor_id"), col("cvec"), col("cn"))
     // query side probes its nProbe nearest cells
     val q = queries.select(queryId.cast("long").as("query_id"), queryVec.as("qvec"))
       .withColumn("qn", sqrt(VecDot(col("qvec"), col("qvec"))))
       .where(col("qn") > 0)
-    val byQuery = Window.partitionBy(col("query_id"))
-      .orderBy(col("cell_sim").desc, col("cell").asc)
-    val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("cell_sim",
-        VecDot(col("qvec"), col("centroid")) / (col("qn") * col("cen_n")))
-      .withColumn("_r", row_number().over(byQuery))
-      .where(col("_r") <= nProbe)
-      .select(col("cell"), col("query_id"), col("qvec"), col("qn"))
+    val probes = q.select(col("query_id"), col("qvec"), col("qn"),
+      explode(probeUdf(col("qvec"))).as("cell"))
     // exact rerank within the probed cells only
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("similarity").desc, col("neighbor_id").asc)

@@ -1,0 +1,195 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import graft.core.SketchConfig
+import graft.operators.{Dedup, SessionTopK, Similarity}
+import graft.sources.ScaleCorpus
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal for the training-data operators: the driver correctness
+  * tables cap at 500 docs / 2k vectors, so this bench times every
+  * dedup/similarity/session operator on deterministic corpora 10-1000x that
+  * size (ScaleCorpus: planted near-dup clusters, clustered embeddings with a
+  * tight near-dup tier, gap-structured event streams) and on a 4-vs-16-core
+  * pair at the middle size. Results append to BENCH.md.
+  *
+  * Usage: runMain graft.tools.TrainingScaleBench [quick] [only=op1,op2]
+  *   quick   — smallest sizes only, 1 pass (smoke test of the harness).
+  *   only=.. — restrict to the named operators (targeted re-measure after a
+  *             fix; results print but BENCH.md is not rewritten).
+  */
+object TrainingScaleBench {
+
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-training-scale-$cores")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "262144")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def fresh(): Unit = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+  }
+
+  // ---- operator runners: (label, size) -> executed row count ----
+
+  final case class Op(name: String, sizes: Seq[Long], run: (SparkSession, Long) => Long)
+
+  private def docsDir(s: SparkSession, n: Long): String =
+    ScaleCorpus.ensure(s, s"data/scale_docs_$n",
+      () => ScaleCorpus.documents(s, n))
+  private def vecsDir(s: SparkSession, n: Long): String =
+    ScaleCorpus.ensure(s, s"data/scale_vecs_$n",
+      () => ScaleCorpus.embeddings(s, n))
+  private def eventsDir(s: SparkSession, nUsers: Long): String =
+    ScaleCorpus.ensure(s, s"data/scale_events_$nUsers",
+      () => ScaleCorpus.events(s, nUsers))
+
+  private def readDocs(s: SparkSession, n: Long): DataFrame =
+    s.read.parquet(docsDir(s, n))
+  private def readVecs(s: SparkSession, n: Long): DataFrame =
+    s.read.parquet(vecsDir(s, n))
+
+  private def queries(s: SparkSession, n: Long): DataFrame =
+    readVecs(s, n).where(col("vec_id") < 100)
+
+  val ops: Seq[Op] = Seq(
+    Op("minhash_lsh+jaccard", Seq(5000L, 50000L, 500000L), (s, n) => {
+      val docs  = readDocs(s, n)
+      val cand  = Dedup.minhashLshPairs(docs, col("doc_id"), col("text"),
+        shingleSize = 5, numHashes = 128, bands = 32, threshold = 0.7)
+      Dedup.exactJaccard(cand.select("a", "b"), docs, shingleSize = 5)
+        .where(col("jaccard") >= 0.8).count()
+    }),
+    Op("simhash", Seq(5000L, 50000L, 500000L), (s, n) =>
+      Dedup.simhashPairs(readDocs(s, n), col("doc_id"), col("text"),
+        maxDistance = 3).count()),
+    Op("near_dup_grid", Seq(10000L, 30000L, 100000L), (s, n) =>
+      Similarity.nearDupPairsBlocked(readVecs(s, n), col("vec_id"),
+        col("embedding"), threshold = 0.95, nBlocks = 32).count()),
+    Op("near_dup_lsh", Seq(10000L, 100000L, 1000000L), (s, n) =>
+      Similarity.nearDupPairs(readVecs(s, n), col("vec_id"), col("embedding"),
+        threshold = 0.95, nBits = 64, bands = 4).count()),
+    Op("ann_lsh_top10", Seq(10000L, 100000L, 1000000L), (s, n) =>
+      Similarity.lshCosineTopK(readVecs(s, n), col("vec_id"), col("embedding"),
+        queries(s, n), col("vec_id"), col("embedding"), k = 10,
+        nBits = 64, bands = 8).count()),
+    Op("ann_ivf_top10", Seq(10000L, 100000L, 1000000L), (s, n) =>
+      Similarity.ivfCosineTopK(readVecs(s, n), col("vec_id"), col("embedding"),
+        queries(s, n), col("vec_id"), col("embedding"), k = 10,
+        nCells = 256, nProbe = 16).count()),
+    Op("ann_exact_top10", Seq(10000L, 100000L, 1000000L), (s, n) =>
+      Similarity.cosineTopK(readVecs(s, n), col("vec_id"), col("embedding"),
+        queries(s, n), col("vec_id"), col("embedding"), k = 10).count()),
+    Op("sessions_gap", Seq(1000L, 10000L, 100000L), (s, nUsers) =>
+      SessionTopK.aggregateGap(s.read.parquet(eventsDir(s, nUsers)),
+        col("user_id"), col("ts"), gapSeconds = 3600L,
+        col("event_type"), lit(1L),
+        SketchConfig.withDefaults(3, width = 256, depth = 3)).count())
+  )
+
+  private def time(f: => Long): (Long, Double) = {
+    val t0 = System.nanoTime()
+    val n  = f
+    (n, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val quick  = args.contains("quick")
+    val only   = args.find(_.startsWith("only="))
+      .map(_.stripPrefix("only=").split(',').toSet)
+    val ops    = this.ops.filter(op => only.forall(_.contains(op.name)))
+    val passes = if (quick) 1 else 2
+
+    // ---- corpora generation + data-size ladder at local[32] ----
+    var spark = session(32)
+    val sizesOf: Op => Seq[Long] = op => if (quick) op.sizes.take(1) else op.sizes
+    // materialize every corpus first (generation excluded from timings)
+    ops.foreach(op => sizesOf(op).foreach { n =>
+      op.name match {
+        case "minhash_lsh+jaccard" | "simhash" => docsDir(spark, n)
+        case "sessions_gap"                    => eventsDir(spark, n)
+        case _                                 => vecsDir(spark, n)
+      }
+    })
+    val best = scala.collection.mutable.Map.empty[(String, Long), (Long, Double)]
+    for (pass <- 1 to passes; op <- ops; n <- sizesOf(op)) {
+      val (rows, sec) = time(op.run(spark, n))
+      println(f"[scale] pass$pass ${op.name}%-22s n=$n%-8d rows=$rows%-8d $sec%7.2f s")
+      val k = (op.name, n)
+      if (!best.contains(k) || sec < best(k)._2) best(k) = (rows, sec)
+    }
+
+    // ANN recall vs exact at the mid size (untimed; correctness context for
+    // the approximate rows above)
+    val midN = if (quick) 10000L else 100000L
+    def pairs(df: DataFrame) = df.select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.cosineTopK(readVecs(spark, midN), col("vec_id"),
+      col("embedding"), queries(spark, midN), col("vec_id"), col("embedding"), 10))
+    val lshR = pairs(Similarity.lshCosineTopK(readVecs(spark, midN), col("vec_id"),
+      col("embedding"), queries(spark, midN), col("vec_id"), col("embedding"), 10,
+      nBits = 64, bands = 8)).intersect(exact).size.toDouble / exact.size
+    val ivfR = pairs(Similarity.ivfCosineTopK(readVecs(spark, midN), col("vec_id"),
+      col("embedding"), queries(spark, midN), col("vec_id"), col("embedding"), 10,
+      nCells = 256, nProbe = 16)).intersect(exact).size.toDouble / exact.size
+    spark.stop(); fresh()
+
+    if (quick) { println(f"[scale] quick done; lsh recall=$lshR%.3f ivf recall=$ivfR%.3f"); return }
+
+    // ---- 4-vs-16-core pair at the MIDDLE size (separate sessions,
+    // levels interleaved, min-of-2) ----
+    val midIdx = 1
+    val coreBest = scala.collection.mutable.Map.empty[(String, Int), Double]
+    for (rep <- 1 to 2; cores <- Seq(4, 16)) {
+      val s = session(cores)
+      for (op <- ops) {
+        val n = op.sizes(midIdx)
+        if (rep == 1 && cores == 4) op.run(s, n) // warmup once per JVM shape
+        val (_, sec) = time(op.run(s, n))
+        println(f"[scale] cores=$cores%-2d rep$rep ${op.name}%-22s $sec%7.2f s")
+        val k = (op.name, cores)
+        coreBest(k) = math.min(coreBest.getOrElse(k, Double.MaxValue), sec)
+      }
+      s.stop(); fresh()
+    }
+
+    // ---- report ----
+    val md = new StringBuilder
+    md.append("\n## Training-operator scale rehearsal (ScaleCorpus, min-of-2 interleaved)\n\n")
+    md.append("Deterministic corpora with planted near-duplicates (docs: 10-doc\n")
+    md.append("clusters with 2 perturbed copies; embeddings: 4096 clusters with a\n")
+    md.append("tight cos>0.999 tier; events: 100/user, 1-90 min gaps). Times are\n")
+    md.append("full-pipeline walls at local[32] including scan; rows = operator\n")
+    md.append("output rows at that size.\n\n")
+    md.append("| operator | size ladder | wall s | output rows |\n|---|---|---|---|\n")
+    ops.foreach { op =>
+      val walls = op.sizes.map(n => f"${best((op.name, n))._2}%.2f").mkString(" / ")
+      val rows  = op.sizes.map(n => best((op.name, n))._1.toString).mkString(" / ")
+      md.append(s"| ${op.name} | ${op.sizes.mkString(" / ")} | $walls | $rows |\n")
+    }
+    md.append(f"\nANN recall vs exact at n=100k, k=10, 100 queries: LSH $lshR%.3f, IVF $ivfR%.3f.\n")
+    md.append("\n| operator | mid size | 4-core s | 16-core s | eff(4->16) |\n|---|---|---|---|---|\n")
+    ops.foreach { op =>
+      val n  = op.sizes(midIdx)
+      val t4 = coreBest((op.name, 4)); val t16 = coreBest((op.name, 16))
+      md.append(f"| ${op.name} | $n%d | $t4%.2f | $t16%.2f | ${t4 / t16 / 4.0}%.2f |\n")
+    }
+    if (only.isEmpty)
+      Files.writeString(Paths.get("BENCH.md"),
+        Files.readString(Paths.get("BENCH.md")) + md.toString)
+    println(md.toString)
+  }
+}
