@@ -24,11 +24,25 @@ object TimeQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the four tokens_* bench jobs run on the synthetic bench table, so the
+    // full BENCH_LOCAL_BASELINE key set regenerates from this one tool
+    lazy val benchDir = graft.Bench.ensureBenchTable(spark)._1
+    val tokenJobs: Map[String, () => Unit] = Map(
+      "tokens_topk_k10_w1024_d3"  -> (() => { graft.Bench.tokenTopK(spark, benchDir, graft.Bench.cfgLight); () }),
+      "tokens_topk_k100_w8192_d4" -> (() => { graft.Bench.tokenTopK(spark, benchDir, graft.Bench.cfgHeavy); () }),
+      "tokens_topk_explode_path"  -> (() => { graft.Bench.tokenTopKExplode(spark, benchDir, graft.Bench.cfgLight); () }),
+      "tokens_exact_top100"       -> (() => { graft.Bench.tokenExact(spark, benchDir, 100); () }))
     names.foreach { name =>
-      val fn = graft.SparkEntry.queries.getOrElse(name,
-        sys.error(s"unknown query '$name'; known: ${graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
-      fn(spark, "/root/testdata/sf0.001").collect() // warmup (JIT/codegen)
-      val times = (1 to reps).map(_ => graft.Bench.time(fn(spark, sfDir).collect())._2)
+      val run: () => Unit = tokenJobs.get(name) match {
+        case Some(job) => job
+        case None =>
+          val fn = graft.SparkEntry.queries.getOrElse(name,
+            sys.error(s"unknown query '$name'; known: ${(graft.SparkEntry.queries.keys ++ tokenJobs.keys).toSeq.sorted.mkString(", ")}"))
+          fn(spark, "/root/testdata/sf0.001").collect() // warmup (JIT/codegen)
+          () => { fn(spark, sfDir).collect(); () }
+      }
+      if (tokenJobs.contains(name)) run() // warmup for token jobs
+      val times = (1 to reps).map(_ => graft.Bench.time(run())._2)
       println(f"[timequery] $name%-28s min=${times.min}%.2f s  all=${times.map(t => f"$t%.2f").mkString(",")}")
     }
     spark.stop()
