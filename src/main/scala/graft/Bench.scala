@@ -150,14 +150,14 @@ object Bench {
       // a failed query must not masquerade as a fast success
       if (ok) sec else -1.0
     }
-    // min over the SUCCESSFUL runs (a flaky later run still lands in
-    // `errors` but must not erase an earlier run's valid timing)
+    // min over the SUCCESSFUL runs: a failed run lands in `errors` but never
+    // erases a valid timing, and a pass-1 failure still gets retried in
+    // passes 2-3 (transient failures must not freeze a query at -1.0)
     val best = scala.collection.mutable.Map.empty[String, Double]
     def record(name: String, s: Double): Unit =
       if (s >= 0) best(name) = math.min(best.getOrElse(name, Double.MaxValue), s)
-      else if (!best.contains(name)) best(name) = -1.0
-    for (pass <- 1 to 3; name <- names)
-      if (pass == 1 || best.getOrElse(name, -1.0) >= 0) record(name, runOnce(name))
+      else if (!best.contains(name) || best(name) < 0) best(name) = -1.0
+    for (_ <- 1 to 3; name <- names) record(name, runOnce(name))
     // final re-measure pass: any query whose min is still >3x its known
     // floor (previous artifact / local isolated baseline) gets up to 2 more
     // attempts after a cool-down — the last defense against a contended

@@ -181,6 +181,12 @@ object Similarity {
     *   3. probe join on the CELL ID (equality), exact rerank, window top-k.
     * Recall is a function of (nCells, nProbe) and the corpus geometry —
     * pinned empirically against the exact oracle at the test SFs.
+    *
+    * NOTE: composing this operator is EAGER — centroid selection runs a
+    * Spark job (collect of nCells tiny rows) at call time, like fitting any
+    * model artifact. Callers that only want a lazy plan (EXPLAIN tooling,
+    * deferred composition) should cache the returned DataFrame reference;
+    * calling twice trains twice.
     */
   def ivfCosineTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
                     queries: DataFrame, queryId: Column, queryVec: Column,

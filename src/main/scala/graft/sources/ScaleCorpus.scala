@@ -130,7 +130,7 @@ object ScaleCorpus {
   /** Write-once cache under data/ (idempotent by _SUCCESS, like
     * TokenTables.ensure); returns the directory.
     */
-  def ensure(spark: SparkSession, dir: String, build: () => DataFrame): String = {
+  def ensure(dir: String, build: () => DataFrame): String = {
     val success = new java.io.File(dir, "_SUCCESS")
     if (!success.exists()) build().write.mode("overwrite").parquet(dir)
     dir

@@ -48,13 +48,13 @@ object TrainingScaleBench {
   final case class Op(name: String, sizes: Seq[Long], run: (SparkSession, Long) => Long)
 
   private def docsDir(s: SparkSession, n: Long): String =
-    ScaleCorpus.ensure(s, s"data/scale_docs_$n",
+    ScaleCorpus.ensure(s"data/scale_docs_$n",
       () => ScaleCorpus.documents(s, n))
   private def vecsDir(s: SparkSession, n: Long): String =
-    ScaleCorpus.ensure(s, s"data/scale_vecs_$n",
+    ScaleCorpus.ensure(s"data/scale_vecs_$n",
       () => ScaleCorpus.embeddings(s, n))
   private def eventsDir(s: SparkSession, nUsers: Long): String =
-    ScaleCorpus.ensure(s, s"data/scale_events_$nUsers",
+    ScaleCorpus.ensure(s"data/scale_events_$nUsers",
       () => ScaleCorpus.events(s, nUsers))
 
   private def readDocs(s: SparkSession, n: Long): DataFrame =
@@ -100,12 +100,6 @@ object TrainingScaleBench {
         SketchConfig.withDefaults(3, width = 256, depth = 3)).count())
   )
 
-  private def time(f: => Long): (Long, Double) = {
-    val t0 = System.nanoTime()
-    val n  = f
-    (n, (System.nanoTime() - t0) / 1e9)
-  }
-
   def main(args: Array[String]): Unit = {
     val quick  = args.contains("quick")
     val only   = args.find(_.startsWith("only="))
@@ -126,28 +120,36 @@ object TrainingScaleBench {
     })
     val best = scala.collection.mutable.Map.empty[(String, Long), (Long, Double)]
     for (pass <- 1 to passes; op <- ops; n <- sizesOf(op)) {
-      val (rows, sec) = time(op.run(spark, n))
+      val (rows, sec) = graft.Bench.time(op.run(spark, n))
       println(f"[scale] pass$pass ${op.name}%-22s n=$n%-8d rows=$rows%-8d $sec%7.2f s")
       val k = (op.name, n)
       if (!best.contains(k) || sec < best(k)._2) best(k) = (rows, sec)
     }
 
     // ANN recall vs exact at the mid size (untimed; correctness context for
-    // the approximate rows above)
+    // the approximate rows above) — skipped when a targeted only= run does
+    // not include an ANN operator (it would generate/scan the embedding
+    // corpus for numbers the skipped report never shows)
+    val wantRecall = ops.exists(_.name.startsWith("ann_"))
     val midN = if (quick) 10000L else 100000L
     def pairs(df: DataFrame) = df.select("query_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val exact = pairs(Similarity.cosineTopK(readVecs(spark, midN), col("vec_id"),
+    lazy val exact = pairs(Similarity.cosineTopK(readVecs(spark, midN), col("vec_id"),
       col("embedding"), queries(spark, midN), col("vec_id"), col("embedding"), 10))
-    val lshR = pairs(Similarity.lshCosineTopK(readVecs(spark, midN), col("vec_id"),
+    lazy val lshR = pairs(Similarity.lshCosineTopK(readVecs(spark, midN), col("vec_id"),
       col("embedding"), queries(spark, midN), col("vec_id"), col("embedding"), 10,
       nBits = 64, bands = 8)).intersect(exact).size.toDouble / exact.size
-    val ivfR = pairs(Similarity.ivfCosineTopK(readVecs(spark, midN), col("vec_id"),
+    lazy val ivfR = pairs(Similarity.ivfCosineTopK(readVecs(spark, midN), col("vec_id"),
       col("embedding"), queries(spark, midN), col("vec_id"), col("embedding"), 10,
       nCells = 256, nProbe = 16)).intersect(exact).size.toDouble / exact.size
+    if (wantRecall) { val _ = (lshR, ivfR) } // force while the session is live
     spark.stop(); fresh()
 
-    if (quick) { println(f"[scale] quick done; lsh recall=$lshR%.3f ivf recall=$ivfR%.3f"); return }
+    if (quick) {
+      if (wantRecall) println(f"[scale] quick done; lsh recall=$lshR%.3f ivf recall=$ivfR%.3f")
+      else println("[scale] quick done")
+      return
+    }
 
     // ---- 4-vs-16-core pair at the MIDDLE size (separate sessions,
     // levels interleaved, min-of-2) ----
@@ -157,8 +159,8 @@ object TrainingScaleBench {
       val s = session(cores)
       for (op <- ops) {
         val n = op.sizes(midIdx)
-        if (rep == 1 && cores == 4) op.run(s, n) // warmup once per JVM shape
-        val (_, sec) = time(op.run(s, n))
+        if (rep == 1) op.run(s, n) // warmup once per session shape (both core levels)
+        val (_, sec) = graft.Bench.time(op.run(s, n))
         println(f"[scale] cores=$cores%-2d rep$rep ${op.name}%-22s $sec%7.2f s")
         val k = (op.name, cores)
         coreBest(k) = math.min(coreBest.getOrElse(k, Double.MaxValue), sec)
@@ -180,7 +182,8 @@ object TrainingScaleBench {
       val rows  = op.sizes.map(n => best((op.name, n))._1.toString).mkString(" / ")
       md.append(s"| ${op.name} | ${op.sizes.mkString(" / ")} | $walls | $rows |\n")
     }
-    md.append(f"\nANN recall vs exact at n=100k, k=10, 100 queries: LSH $lshR%.3f, IVF $ivfR%.3f.\n")
+    if (wantRecall)
+      md.append(f"\nANN recall vs exact at n=100k, k=10, 100 queries: LSH $lshR%.3f, IVF $ivfR%.3f.\n")
     md.append("\n| operator | mid size | 4-core s | 16-core s | eff(4->16) |\n|---|---|---|---|---|\n")
     ops.foreach { op =>
       val n  = op.sizes(midIdx)

@@ -18,8 +18,12 @@ class BenchGuardSpec extends AnyFunSuite {
     val text = scala.io.Source.fromFile(local).mkString
     val sfDir = """"sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(text).map(_.group(1))
     assume(sfDir.isDefined, "local baseline has no \"sf\" field")
-    val someKey = """"([a-z0-9_]+)"\s*:\s*[0-9]""".r
-      .findAllMatchIn(text).map(_.group(1)).find(_ != "sf")
+    // pick the expected key from inside the "queries" block — the only part
+    // readPrevBenchTimes parses — so stray top-level numeric fields cannot
+    // turn this into a hard failure
+    val someKey = """"queries"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(text)
+      .flatMap(m => """"([a-z0-9_]+)"\s*:\s*[0-9]""".r
+        .findFirstMatchIn(m.group(1)).map(_.group(1)))
     assume(someKey.isDefined, "local baseline has no query entries")
     val times = graft.Bench.readPrevBenchTimes(sfDir.get)
     assert(times.nonEmpty, "no baselines parsed from BENCH_r*.json / BENCH_LOCAL_BASELINE.json")
