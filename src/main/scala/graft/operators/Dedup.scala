@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.core.XxHash32
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines.
@@ -17,7 +16,15 @@ object Dedup {
 
   // ---------- exact ----------
 
-  /** Exact dedup: one survivor (min id) per distinct text. */
+  /** Exact dedup: one survivor (min id) per distinct text.
+    *
+    * "Exact" caveat: groups form on `xxhash64(text)` so only the 8-byte hash
+    * shuffles, never the documents — two DISTINCT texts with colliding
+    * 64-bit hashes would merge (expected ~n²/2⁶⁵ collisions: about one at
+    * ~6B docs; also adversarially constructible, xxhash64 is not
+    * cryptographic). Where that matters, verify text equality within hash
+    * groups downstream, or group on the text itself and pay the shuffle.
+    */
   def exactSurvivors(df: DataFrame, id: Column, text: Column): DataFrame =
     df.select(id.cast("long").as("doc_id"), text.as("text"))
       .groupBy(xxhash64(col("text")).as("text_hash"))
@@ -153,7 +160,7 @@ object Dedup {
       shingleSize: Int = 5
   ): DataFrame = {
     val sh = docs.select(col("doc_id"),
-      array_distinct(shingleHashes(shingleSize)(col("text"))).as("sh"))
+      shingleHashes(shingleSize)(col("text")).as("sh")) // already distinct
     pairs
       .join(sh.select(col("doc_id").as("a"), col("sh").as("sh_a")), Seq("a"))
       .join(sh.select(col("doc_id").as("b"), col("sh").as("sh_b")), Seq("b"))
@@ -250,7 +257,14 @@ object Dedup {
       if (width >= 64) col("sh")
       else shiftright(col("sh"), start).bitwiseAND(lit((1L << width) - 1))
     }
-    val hashed = df.select(id.cast("long").as("doc_id"), hashUdf(text).as("sh"))
+    // token-less docs (null/empty/whitespace-only text) all hash to the same
+    // degenerate signature and would emit every mutual pair — a quadratic
+    // output blowup in an operator whose contract is "no all-pairs". Filter
+    // them inside the operator (minhashLshPairs does the equivalent via its
+    // empty-signature guard), not just at call sites.
+    val hashed = df.select(id.cast("long").as("doc_id"), text.as("_t"))
+      .where(col("_t").isNotNull && col("_t").rlike("\\S"))
+      .select(col("doc_id"), hashUdf(col("_t")).as("sh"))
     val blocked = hashed.select(col("doc_id"), col("sh"),
       posexplode(array(blockCols: _*)).as(Seq("blk_idx", "block")))
     // self-alias join: one signature computation + one exchange, reused by

