@@ -29,6 +29,11 @@ object SparkEntry {
     * Also asserts the UTC session the NTZ→TIMESTAMP casts (and day-window
     * alignment vs the oracle) depend on.
     */
+  /** Depth-first recursive delete, tolerant of concurrent removal. */
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+
   private def streamSourceDir(dir: String): java.nio.file.Path = {
     val key = java.lang.Long.toHexString(
       java.util.Objects.hashCode(dir).toLong & 0xffffffffL)
@@ -51,8 +56,7 @@ object SparkEntry {
         java.nio.file.Files.delete(link)
     } else if (java.nio.file.Files.exists(link,
         java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
-      java.nio.file.Files.walk(link).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      deleteRecursively(link)
     }
     if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
       java.nio.file.Files.createSymbolicLink(link, target)
@@ -65,10 +69,7 @@ object SparkEntry {
   private lazy val ckptRoot: java.nio.file.Path = {
     val p = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      try {
-        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
-      } catch { case _: Throwable => }
+      try deleteRecursively(p) catch { case _: Throwable => }
     }))
     p
   }
@@ -827,15 +828,19 @@ object SparkEntry {
          ORDER BY day, rank""",
 
     // the sliding stream emits a tick only once the watermark completes it:
-    // every present tick except the last (clock starts at the first data tick)
+    // every tick from the first data tick up to (not incl.) the last — the
+    // DENSE range, because the engine keeps emitting event-less ticks while
+    // the trailing window still holds mass (and the inner join below drops
+    // exactly the ticks whose window is empty, which the engine skips too)
     "topk_stream_sliding" ->
       """WITH per AS (
            SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS tick,
                   event_type AS item, count(*) AS c
            FROM events GROUP BY 1, 2),
          ticks AS (
-           SELECT DISTINCT tick FROM per
-           WHERE tick < (SELECT max(tick) FROM per)),
+           SELECT DISTINCT p.tick + o.o AS tick
+           FROM per p, (SELECT unnest(range(0, 7)) AS o) o
+           WHERE p.tick + o.o < (SELECT max(tick) FROM per)),
          win AS (
            SELECT t.tick, p.item, CAST(sum(p.c) AS BIGINT) AS count
            FROM ticks t JOIN per p ON p.tick BETWEEN t.tick - 6 AND t.tick

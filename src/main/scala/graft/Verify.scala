@@ -23,6 +23,13 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a failed query must not leave a STALE parquet from an earlier run
+        // in place — the compare would hash old-but-plausible output and
+        // mask the regression as a pass
+        val dir = Paths.get(s"$outDir/$name")
+        if (Files.exists(dir))
+          Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => { Files.deleteIfExists(f); () })
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

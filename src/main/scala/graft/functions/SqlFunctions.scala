@@ -49,9 +49,14 @@ import org.apache.spark.sql.types.{LongType, StringType}
 object SqlFunctions {
 
   private def litInt(e: Expression, name: String): Int = e match {
-    case Literal(v: Int, _)   => v
-    case Literal(v: Long, _)  => v.toInt
-    case other                => throw new IllegalArgumentException(
+    case Literal(v: Int, _)  => v
+    case Literal(v: Long, _) =>
+      // reject rather than truncate: topk_items(item, w, 4294967306) must
+      // not silently run with k = 10
+      if (v.isValidInt) v.toInt
+      else throw new IllegalArgumentException(
+        s"$name must fit in a 32-bit int, got $v")
+    case other => throw new IllegalArgumentException(
       s"$name must be an integer literal, got $other")
   }
 
@@ -59,6 +64,7 @@ object SqlFunctions {
     case Literal(v: Double, _) => v.toFloat
     case Literal(v: Float, _)  => v
     case Literal(v: Int, _)    => v.toFloat
+    case Literal(v: Long, _)   => v.toFloat
     // SQL `0.9` parses as a DECIMAL literal — the natural spelling of the
     // decay argument must work, not just 0.9D/0.9F
     case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toFloat

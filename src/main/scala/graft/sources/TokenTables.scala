@@ -60,7 +60,9 @@ object TokenTables {
     }
   }
 
-  /** Write the synthetic table as parquet if absent (idempotent by _SUCCESS). */
+  /** Write the synthetic table as parquet if absent (idempotent by _SUCCESS;
+    * shares ScaleCorpus.ensure so the write-once cache logic lives once).
+    */
   def ensure(
       spark: SparkSession,
       dir: String,
@@ -69,14 +71,9 @@ object TokenTables {
       meanTokens: Int = 512,
       seed: Long = 42L,
       numPartitions: Int = 32
-  ): String = {
-    val success = new java.io.File(dir, "_SUCCESS")
-    if (!success.exists()) {
-      synthetic(spark, numDocs, vocab, meanTokens, seed, numPartitions)
-        .write.mode("overwrite").parquet(dir)
-    }
-    dir
-  }
+  ): String =
+    ScaleCorpus.ensure(dir,
+      () => synthetic(spark, numDocs, vocab, meanTokens, seed, numPartitions).toDF())
 
   /** Read a sequence table (parquet realization of the Iceberg contract). */
   def read(spark: SparkSession, dir: String, format: String = "parquet"): DataFrame =
@@ -102,7 +99,12 @@ object TokenTables {
   def fromDocuments(documents: DataFrame, vocab: Int = 65536): DataFrame =
     documents.select(
       col("doc_id").cast("string").as("doc_id"),
-      expr(s"transform(split(text, '\\\\s+'), w -> abs(hash(w)) % $vocab)").as("tokens"),
+      // filter the empty token split() yields on leading whitespace (it
+      // would hash to a phantom id and inflate n_tok vs TextAnalysis's
+      // filtered token counts); pmod, not abs: abs(Int.MinValue) is
+      // negative and would emit a negative token id
+      expr(s"transform(filter(split(text, '\\\\s+'), w -> w != ''), w -> pmod(hash(w), $vocab))")
+        .as("tokens"),
       col("source")
     ).withColumn("n_tok", size(col("tokens")))
 }

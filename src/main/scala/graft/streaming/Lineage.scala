@@ -101,10 +101,18 @@ object Lineage {
     override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
   }
 
-  /** Attach a metrics listener to the session; returns it for inspection. */
+  /** Attach a metrics listener to the session; returns it for inspection.
+    * Attach once per session — repeated attaches stack listeners, each
+    * recording every batch and retaining its own (bounded) buffer. Pair
+    * with [[detach]] in harnesses that attach per run on a shared session.
+    */
   def attach(spark: SparkSession): MetricsListener = {
     val l = new MetricsListener
     spark.streams.addListener(l)
     l
   }
+
+  /** Remove a listener previously returned by [[attach]]. */
+  def detach(spark: SparkSession, l: MetricsListener): Unit =
+    spark.streams.removeListener(l)
 }

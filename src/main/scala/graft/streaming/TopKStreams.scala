@@ -134,12 +134,20 @@ object TopKStreams {
     // this only moves that reduction map-side — shuffle rows and per-batch
     // state-codec work drop from O(events) to O(distinct (key, tick, item))
     // per partition, the difference between shuffling every token and
-    // shuffling a vocabulary. Semantics preserved exactly:
+    // shuffling a vocabulary. Semantics:
     //  - weight: only positive raw weights accumulate (the state function's
     //    per-row `weight > 0` no-op rule), but the group row is emitted even
     //    at weight 0 so heartbeat rows still advance the watermark;
     //  - ts: the group's max timestamp — per-batch event-time stats (and so
-    //    the watermark) see the same maximum as the raw rows.
+    //    the watermark) see the same maximum as the raw rows;
+    //  - late-row admission: a row individually below the watermark is
+    //    ADMITTED when an on-time row shares its (key, tick, item) group in
+    //    the same batch+partition (the group row carries the max ts). This
+    //    is strictly FEWER drops than row-wise filtering — results move
+    //    toward the event-time-complete answer — and stays inside the
+    //    nondeterminism watermark semantics already have (admission always
+    //    depends on micro-batch boundaries); checkpointed replays are still
+    //    exact, since the offset log pins batch contents.
     val reduced = typed.mapPartitions { rows =>
       val agg = new java.util.HashMap[(String, Long, String), Array[Long]]()
       rows.foreach { case (k, ts, item, w) =>
