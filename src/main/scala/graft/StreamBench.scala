@@ -16,6 +16,9 @@ import org.apache.spark.sql.streaming.Trigger
 object StreamBench {
 
   def main(args: Array[String]): Unit = {
+    // the artifacts below are machine-parsed (JSON line / regexed tables):
+    // pin the locale so f"..%.3f" can never emit comma decimals
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -129,9 +132,10 @@ object StreamBench {
         |per key, as designed). The per-key ring compute itself thread-scales
         |at 0.93 (8->16, pure-JVM ThreadScale probe).
         |""".stripMargin
-    Files.writeString(Paths.get("BENCH.md"),
-      Files.readString(Paths.get("BENCH.md")) + md)
-    println(md)
+    println(md) // print FIRST: the measurements must survive a write failure
+    val bench = Paths.get("BENCH.md")
+    val prior = if (Files.exists(bench)) Files.readString(bench) else ""
+    Files.writeString(bench, prior + md)
     spark.stop()
   }
 }

@@ -190,9 +190,11 @@ object TrainingScaleBench {
       val t4 = coreBest((op.name, 4)); val t16 = coreBest((op.name, 16))
       md.append(f"| ${op.name} | $n%d | $t4%.2f | $t16%.2f | ${t4 / t16 / 4.0}%.2f |\n")
     }
-    if (only.isEmpty)
-      Files.writeString(Paths.get("BENCH.md"),
-        Files.readString(Paths.get("BENCH.md")) + md.toString)
-    println(md.toString)
+    println(md.toString) // print FIRST: measurements survive a write failure
+    if (only.isEmpty) {
+      val bench = Paths.get("BENCH.md")
+      val prior = if (Files.exists(bench)) Files.readString(bench) else ""
+      Files.writeString(bench, prior + md.toString)
+    }
   }
 }
