@@ -19,9 +19,10 @@ class SinksSpec extends AnyFunSuite {
 
     writer(Seq(("a", 1L), ("b", 2L)).toDF("item", "count"), 0L)
     writer(Seq(("c", 3L)).toDF("item", "count"), 1L)
-    // replay of batch 1 (post-failure re-delivery, possibly different row
-    // order) must leave exactly one copy
-    writer(Seq(("c", 3L)).toDF("item", "count"), 1L)
+    // replay of batch 1 (post-failure re-delivery — same rows but a
+    // DIFFERENT partition layout, as checkpoint recovery may produce) must
+    // leave exactly one copy: overwrite, not skip-if-exists
+    writer(Seq(("c", 3L)).toDF("item", "count").repartition(4), 1L)
 
     val rows = spark.read.parquet(dir)
       // partition-dir values are type-inferred on read (int here): cast back

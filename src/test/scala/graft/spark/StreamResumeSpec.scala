@@ -104,8 +104,10 @@ class StreamResumeSpec extends AnyFunSuite {
     assert(lineage.nonEmpty)
     assert(lineage.forall(_.committed), "uncommitted batches in lineage")
     val lineageText = lineage.flatMap(_.sourceOffsets).mkString("\n")
-    assert(lineageText.contains("logOffset") || lineageText.contains("\"path\"") ||
-      lineageText.nonEmpty)
+    // the file-stream source's offset is a logOffset into its file log —
+    // assert the SPECIFIC shape, not mere non-emptiness (a metadata-only
+    // parse regression must fail here)
+    assert(lineageText.contains("logOffset"), s"offset log shape: $lineageText")
   }
 
   test("session stream resumes from checkpoint (adaptive buffers in state store)") {
@@ -167,6 +169,6 @@ class StreamResumeSpec extends AnyFunSuite {
       assert(ms.nonEmpty, "no progress events captured")
       assert(ms.map(_.numInputRows).sum == schedule.size.toLong)
       assert(ms.exists(_.stateBytes > 0), "state size metric missing")
-    } finally spark.streams.removeListener(listener)
+    } finally graft.streaming.Lineage.detach(spark, listener)
   }
 }

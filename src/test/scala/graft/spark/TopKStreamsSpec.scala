@@ -105,7 +105,7 @@ class TopKStreamsSpec extends AnyFunSuite {
       assert(rows.contains(("a", 1L, 2, "x", 3L)))
       // key b, tick 1: p=7
       assert(rows.contains(("b", 1L, 1, "p", 7L)))
-      // window size 3: by tick 3 the tick-0 adds still count; tick 3 = empty ages
+      // window size 3: tick 2's window is ticks 0..2, so tick-0 adds count
       assert(rows.contains(("a", 2L, 1, "y", 5L)))
       // at tick 3, tick-0 contributions expired (window = ticks 1..3) -> y gone
       assert(!rows.exists(r => r._1 == "a" && r._2 == 3L && r._4 == "y"))

@@ -42,6 +42,12 @@ class VecDotSpec extends AnyFunSuite {
       .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getDouble(1)))).toMap
     assert(r(1L).contains(11.0))
     assert(r(2L).isEmpty)
+    // null ELEMENT (not expressible as an Array[Float] literal): must be
+    // null, not a silent 0.0 contribution — parity with the zip_with chain
+    val elem = spark.sql(
+      "SELECT array(1.0f, cast(null AS float)) AS a, array(2.0f, 3.0f) AS b")
+      .select(VecDot($"a", $"b").as("d")).head()
+    assert(elem.isNullAt(0), "null element must yield null dot product")
     // length mismatch
     val lm = Seq((Array(1f, 2f, 3f), Array(1f))).toDF("a", "b")
       .select(VecDot($"a", $"b")).head()
