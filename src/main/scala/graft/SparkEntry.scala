@@ -280,6 +280,20 @@ object SparkEntry {
         emb.where(col("vec_id") < 5), col("vec_id"), col("embedding"), k = 10)
     }),
 
+    // IVF with nProbe == nCells probes every inverted list, so the result is
+    // EXACTLY the brute-force top-K on any geometry (isotropic testdata
+    // defeats quantizer selectivity, not correctness) — this drives the full
+    // IVF plumbing (centroid collect, map-side argmax assignment, probe
+    // join, rerank) through the oracle gate; the SELECTIVE regime (nProbe <<
+    // nCells at recall 0.98) is measured on clustered data in BENCH.md
+    "ann_cosine_topk_ivf" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.operators.Similarity.ivfCosineTopK(
+        emb, col("vec_id"), col("embedding"),
+        emb.where(col("vec_id") < 5), col("vec_id"), col("embedding"), k = 10,
+        nCells = 16, nProbe = 16)
+    }),
+
     // LSH-blocked ANN — CORRECTNESS PLUMBING, not the scale configuration.
     // The testdata embeddings are isotropic noise (pairwise cos ~ 0), where
     // hyperplane banding is mathematically non-selective; recall 1 vs the
@@ -682,6 +696,21 @@ object SparkEntry {
          FROM documents""",
 
     "ann_cosine_topk" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+         s AS (
+           SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                  list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                         CAST(q.embedding AS DOUBLE[])) AS sim
+           FROM embeddings e, q WHERE e.vec_id <> q.vec_id),
+         r AS (
+           SELECT query_id, neighbor_id, sim,
+                  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+           FROM s)
+         SELECT query_id, rank, neighbor_id, round(sim, 6) AS similarity
+         FROM r WHERE rank <= 10""",
+
+    // probing ALL cells makes IVF exhaustive: same oracle as the exact path
+    "ann_cosine_topk_ivf" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
          s AS (
            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
