@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.plans.VecDot
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -298,9 +298,18 @@ object Similarity {
     * canonicalized (a < b). Dot products run on the native VecDot kernel
     * with precomputed norms. Result is exact — recall 1 by construction.
     *
-    * At 100 TB: pick nBlocks so one cell's pair count is a task-sized unit
-    * (cells = partitions → nBlocks ≈ √(2·partitions)); replication cost is
+    * At 100 TB: pick nBlocks so one cell's VECTORS fit a task (cells =
+    * partitions → nBlocks ≈ √(2·partitions)); replication cost is
     * n·nBlocks/2 fixed-size rows, and compute is the irreducible n²/2 dots.
+    *
+    * The cell interior is a DENSE KERNEL, not a row join: each side's block
+    * aggregates its vectors into one array row, the grid join matches
+    * nBlocks·(nBlocks+1)/2 block-pair rows, and a per-cell tight loop scores
+    * all pairs (same left-to-right double accumulation as VecDot — results
+    * bit-identical to the scored-join formulation). Materializing the n²/2
+    * candidate ROWS through codegen join machinery instead was ~25 ns/pair
+    * of pure overhead — 156 s at 100k×64-dim where the dots themselves are
+    * worth ~20 s (BENCH.md scale rehearsal).
     */
   def nearDupPairsBlocked(df: DataFrame, id: Column, vec: Column,
                           threshold: Double, nBlocks: Int = 16): DataFrame = {
@@ -312,22 +321,64 @@ object Similarity {
       // TRUE under Spark's NaN-largest ordering, so zero vectors would pair
       // with everything in an operator documented as exact)
       .withColumn("blk", pmod(xxhash64(col("id")), lit(nBlocks)).cast("int"))
+    // one row per block: (blk, ids, vecs, norms) — the dense-cell payload
+    val blocks = v.groupBy(col("blk"))
+      .agg(collect_list(struct(col("id"), col("v"), col("nrm"))).as("rows"))
     val grid = (for { i <- 0 until nBlocks; j <- i until nBlocks } yield (i, j))
       .toDF("bi", "bj")
-    val lrep = v.join(broadcast(grid), col("blk") === col("bi"))
-      .select(col("bi"), col("bj"), col("id").as("a"), col("v").as("va"), col("nrm").as("na"))
-    val rrep = v.join(broadcast(grid), col("blk") === col("bj"))
-      .select(col("bi").as("bi2"), col("bj").as("bj2"),
-        col("id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
-    lrep.join(rrep, col("bi") === col("bi2") && col("bj") === col("bj2"))
-      // diagonal cells see both orientations: keep one; off-diagonal cells
-      // see each unordered pair once (orientation is block-determined)
-      .where(col("bi") =!= col("bj") || col("a") < col("b"))
-      .where(col("a") =!= col("b"))
-      .withColumn("similarity", VecDot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .where(col("similarity") >= threshold)
-      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"),
-        round(col("similarity"), 6).as("similarity"))
+    val cells = blocks.join(broadcast(grid), col("blk") === col("bi"))
+      .select(col("bi"), col("bj"), col("rows").as("lrows"))
+      .join(blocks.select(col("blk").as("bj2"), col("rows").as("rrows")),
+        col("bj") === col("bj2"))
+    // per-cell dense scoring; diagonal cells keep one orientation (a < b),
+    // off-diagonal cells see each unordered pair exactly once
+    val scoreCell = udf { (bi: Int, bj: Int, lrows: Seq[Row], rrows: Seq[Row]) =>
+      def unpack(rs: Seq[Row]): (Array[Long], Array[Array[Float]], Array[Double]) = {
+        val n   = rs.size
+        val ids = new Array[Long](n)
+        val vs  = new Array[Array[Float]](n)
+        val ns  = new Array[Double](n)
+        var i = 0
+        rs.foreach { r =>
+          ids(i) = r.getLong(0)
+          vs(i)  = r.getSeq[Float](1).toArray
+          ns(i)  = r.getDouble(2)
+          i += 1
+        }
+        (ids, vs, ns)
+      }
+      val (lid, lv, ln) = unpack(lrows)
+      val (rid, rv, rn) = unpack(rrows)
+      val out  = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      val diag = bi == bj
+      var i = 0
+      while (i < lid.length) {
+        val a  = lid(i)
+        val va = lv(i)
+        var j = 0
+        while (j < rid.length) {
+          val b = rid(j)
+          if (a != b && (!diag || a < b)) {
+            val vb = rv(j)
+            // same left-to-right double accumulation as VecDot
+            var acc = 0.0
+            var d   = 0
+            val n   = math.min(va.length, vb.length)
+            while (d < n) { acc += va(d).toDouble * vb(d).toDouble; d += 1 }
+            val sim = acc / (ln(i) * rn(j))
+            if (sim >= threshold)
+              out += ((math.min(a, b), math.max(a, b), sim))
+          }
+          j += 1
+        }
+        i += 1
+      }
+      out.toArray
+    }
+    cells
+      .select(explode(scoreCell(col("bi"), col("bj"), col("lrows"), col("rrows"))).as("p"))
+      .select(col("p._1").as("a"), col("p._2").as("b"),
+        round(col("p._3"), 6).as("similarity"))
   }
 
   /** Embedding near-duplicate pairs: cosine >= threshold via LSH blocking +
