@@ -23,17 +23,17 @@ object SparkEntry {
   private val cfgWide  = SketchConfig.withDefaults(k = 5, width = 1024, depth = 3)
   private val cfgUsers = SketchConfig.withDefaults(k = 20, width = 4096, depth = 3)
 
+  /** Depth-first recursive delete, tolerant of concurrent removal. */
+  private[graft] def deleteRecursively(p: java.nio.file.Path): Unit =
+    java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+
   /** The streaming file source monitors a DIRECTORY (as in production); the
     * testdata table is a bare file, so expose it via a symlink in a
     * DETERMINISTIC per-sf temp dir — no data copy, no per-run accumulation.
     * Also asserts the UTC session the NTZ→TIMESTAMP casts (and day-window
     * alignment vs the oracle) depend on.
     */
-  /** Depth-first recursive delete, tolerant of concurrent removal. */
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
-    java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-      .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
-
   private def streamSourceDir(dir: String): java.nio.file.Path = {
     val key = java.lang.Long.toHexString(
       java.util.Objects.hashCode(dir).toLong & 0xffffffffL)

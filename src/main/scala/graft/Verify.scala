@@ -25,11 +25,14 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // a failed query must not leave a STALE parquet from an earlier run
         // in place — the compare would hash old-but-plausible output and
-        // mask the regression as a pass
-        val dir = Paths.get(s"$outDir/$name")
-        if (Files.exists(dir))
-          Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => { Files.deleteIfExists(f); () })
+        // mask the regression as a pass. The cleanup itself is guarded: a
+        // second failure must cost this one query, not the whole dump.
+        try {
+          val dir = Paths.get(s"$outDir/$name")
+          if (Files.exists(dir)) SparkEntry.deleteRecursively(dir)
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name stale-output cleanup failed: ${e2.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

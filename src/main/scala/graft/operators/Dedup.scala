@@ -191,7 +191,11 @@ object Dedup {
     // 33 s). Below the cutover the filter LOSES: deriving `ids` re-executes
     // the candidate subplan, which dwarfs a small corpus's shingle shuffle
     // (measured +1.6 s on the 500-doc driver table) — same stats-based
-    // cutover idea as TopK.globalTopK's tree-vs-flat choice.
+    // cutover idea as TopK.globalTopK's tree-vs-flat choice. CAVEAT: the
+    // estimate is reliable for file-scan plans (all in-repo callers); for
+    // synthetic/in-memory doc plans the optimizer may under- or over-state
+    // size and pick the slower side — materialize such corpora to parquet
+    // first if the verify stage matters at scale.
     val filterDocs =
       docs.queryExecution.optimizedPlan.stats.sizeInBytes > (64L << 20)
     val base = docs.select(col("doc_id"), col("text"))

@@ -360,14 +360,17 @@ object Similarity {
           val b = rid(j)
           if (a != b && (!diag || a < b)) {
             val vb = rv(j)
-            // same left-to-right double accumulation as VecDot
-            var acc = 0.0
-            var d   = 0
-            val n   = math.min(va.length, vb.length)
-            while (d < n) { acc += va(d).toDouble * vb(d).toDouble; d += 1 }
-            val sim = acc / (ln(i) * rn(j))
-            if (sim >= threshold)
-              out += ((math.min(a, b), math.max(a, b), sim))
+            // VecDot parity: a length mismatch yields null there (pair
+            // dropped), so ragged pairs are skipped, never prefix-scored
+            if (vb.length == va.length) {
+              // same left-to-right double accumulation as VecDot
+              var acc = 0.0
+              var d   = 0
+              while (d < va.length) { acc += va(d).toDouble * vb(d).toDouble; d += 1 }
+              val sim = acc / (ln(i) * rn(j))
+              if (sim >= threshold)
+                out += ((math.min(a, b), math.max(a, b), sim))
+            }
           }
           j += 1
         }
