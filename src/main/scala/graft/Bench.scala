@@ -20,8 +20,23 @@ object Bench {
   final val BenchDocs   = 40000L
   final val BenchTokensDir = "data/bench_tokens"
 
+  /** Headline table: ~82M tokens (160k docs). The published tokens_per_sec
+    * is derived from the HEAVY geometry on THIS table (~5-6 s/rep, fixed
+    * per-job floor <10%), because a sub-second job makes the headline swing
+    * tens of percent between rounds on scheduler jitter alone (r3 51.3M vs
+    * r4 33.6M tokens/s were the SAME code on a 0.4-0.6 s light job).
+    */
+  final val HeadlineDocs      = 160000L
+  final val HeadlineTokensDir = "data/bench_tokens_headline"
+
   def ensureBenchTable(spark: SparkSession): (String, Long) = {
     val dir = TokenTables.ensure(spark, BenchTokensDir, BenchDocs, numPartitions = 64)
+    val nTokens = spark.read.parquet(dir).agg(sum("n_tok")).head().getLong(0)
+    (dir, nTokens)
+  }
+
+  def ensureHeadlineTable(spark: SparkSession): (String, Long) = {
+    val dir = TokenTables.ensure(spark, HeadlineTokensDir, HeadlineDocs, numPartitions = 64)
     val nTokens = spark.read.parquet(dir).agg(sum("n_tok")).head().getLong(0)
     (dir, nTokens)
   }
@@ -67,8 +82,11 @@ object Bench {
       if (files.isEmpty) Map.empty[String, Double] else queriesOf(files.last.toPath)
     } catch { case _: Throwable => Map.empty[String, Double] }
     val local = queriesOf(java.nio.file.Paths.get("BENCH_LOCAL_BASELINE.json"))
-    (prev.keySet ++ local.keySet).map { k =>
-      k -> math.min(prev.getOrElse(k, Double.MaxValue), local.getOrElse(k, Double.MaxValue))
+    // BENCH_SELF.json: the previous run's complete self-persisted artifact
+    // (the round artifact's stdout capture can be truncated — see main)
+    val self = queriesOf(java.nio.file.Paths.get("BENCH_SELF.json"))
+    (prev.keySet ++ local.keySet ++ self.keySet).map { k =>
+      k -> Seq(prev.get(k), local.get(k), self.get(k)).flatten.min
     }.toMap
   }
 
@@ -158,8 +176,12 @@ object Bench {
     // passes 2-3 (transient failures must not freeze a query at -1.0)
     val best = scala.collection.mutable.Map.empty[String, Double]
     def record(name: String, s: Double): Unit =
-      if (s >= 0) best(name) = math.min(best.getOrElse(name, Double.MaxValue), s)
-      else if (!best.contains(name) || best(name) < 0) best(name) = -1.0
+      if (s >= 0) {
+        // ignore a stored -1.0 sentinel: a pass-1 failure followed by a
+        // pass-2 success must publish the success, not min(-1.0, s) = -1.0
+        val b = best.getOrElse(name, Double.MaxValue)
+        best(name) = if (b < 0) s else math.min(b, s)
+      } else if (!best.contains(name) || best(name) < 0) best(name) = -1.0
     for (_ <- 1 to 3; name <- names) record(name, runOnce(name))
     // final re-measure pass: any query whose min is still >3x its known
     // floor (previous artifact / local isolated baseline) gets up to 2 more
@@ -190,16 +212,22 @@ object Bench {
     val (dir, nTokens) = try ensureBenchTable(spark) catch {
       case e: Throwable => errors += s"bench_table: ${e.getClass.getSimpleName}"; ("", 0L)
     }
+    val (hdir, hTokens) = try ensureHeadlineTable(spark) catch {
+      case e: Throwable => errors += s"headline_table: ${e.getClass.getSimpleName}"; ("", 0L)
+    }
     if (dir.nonEmpty)
       try { tokenTopK(spark, dir, cfgLight); () } // warmup (JIT + page cache)
       catch { case _: Throwable => }
-    // same interleave discipline as the query surface: one pass of all four
+    // same interleave discipline as the query surface: one pass of all the
     // jobs, three times, min per job
     val tokenJobs: Seq[(String, () => Unit)] = Seq(
       "light"   -> (() => { tokenTopK(spark, dir, cfgLight); () }),
       "heavy"   -> (() => { tokenTopK(spark, dir, cfgHeavy); () }),
       "explode" -> (() => { tokenTopKExplode(spark, dir, cfgLight); () }),
-      "exact"   -> (() => { tokenExact(spark, dir, 100); () }))
+      "exact"   -> (() => { tokenExact(spark, dir, 100); () })) ++
+      (if (hdir.nonEmpty)
+        Seq("headline" -> (() => { tokenTopK(spark, hdir, cfgHeavy); () }))
+      else Nil)
     val tokenBest = scala.collection.mutable.Map.empty[String, Double]
       .withDefaultValue(Double.MaxValue)
     if (dir.nonEmpty)
@@ -212,24 +240,39 @@ object Bench {
       }
     def tokenSec(n: String): Double =
       if (tokenBest(n) == Double.MaxValue) -1.0 else tokenBest(n)
-    val lightSec   = tokenSec("light")
-    val heavySec   = tokenSec("heavy")
-    val explodeSec = tokenSec("explode")
-    val exactSec   = tokenSec("exact")
+    val lightSec    = tokenSec("light")
+    val heavySec    = tokenSec("heavy")
+    val explodeSec  = tokenSec("explode")
+    val exactSec    = tokenSec("exact")
+    val headlineSec = tokenSec("headline")
 
     val all = queryTimes ++ Seq(
       "tokens_topk_k10_w1024_d3"  -> lightSec,
       "tokens_topk_k100_w8192_d4" -> heavySec,
       "tokens_topk_explode_path"  -> explodeSec,
-      "tokens_exact_top100"       -> exactSec
+      "tokens_exact_top100"       -> exactSec,
+      "tokens_topk_headline_82m"  -> headlineSec
     )
     val qs    = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
-    val tokPerSec = if (lightSec > 0) (nTokens / lightSec).toLong else -1L
+    // headline throughput from the compute-dominated job (82M tokens, heavy
+    // geometry, ~5-6 s); light-job rate kept for cross-round comparability
+    val tokPerSec = if (headlineSec > 0) (hTokens / headlineSec).toLong
+                    else if (lightSec > 0) (nTokens / lightSec).toLong else -1L
+    val tokPerSecLight = if (lightSec > 0) (nTokens / lightSec).toLong else -1L
     val errJson = errors.map(e => "\"" + e + "\"").mkString("[", ",", "]")
     val resJson = resampled.map(e => "\"" + e + "\"").mkString("[", ",", "]")
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","tokens":$nTokens%d,"tokens_per_sec":$tokPerSec%d,"cpus":$cpus%s,"resampled":$resJson%s,"errors":$errJson%s}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","tokens":$hTokens%d,"tokens_per_sec":$tokPerSec%d,"tokens_light":$nTokens%d,"tokens_per_sec_light":$tokPerSecLight%d,"cpus":$cpus%s,"resampled":$resJson%s,"errors":$errJson%s}"""
+    println(line)
+    // persist the artifact: the driver's stdout `tail` capture truncated
+    // BENCH_r04 to the last ~25 of 36 entries — the committed record must
+    // not depend on a capture window (overwritten per run, committed per
+    // round; also a baseline source for the floor guard, see
+    // readPrevBenchTimes)
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SELF.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -24,9 +24,12 @@ object SparkEntry {
   private val cfgUsers = SketchConfig.withDefaults(k = 20, width = 4096, depth = 3)
 
   /** Depth-first recursive delete, tolerant of concurrent removal. */
-  private[graft] def deleteRecursively(p: java.nio.file.Path): Unit =
-    java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+  private[graft] def deleteRecursively(p: java.nio.file.Path): Unit = {
+    val walk = java.nio.file.Files.walk(p)
+    try walk.sorted(java.util.Comparator.reverseOrder())
       .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+    finally walk.close()
+  }
 
   /** The streaming file source monitors a DIRECTORY (as in production); the
     * testdata table is a bare file, so expose it via a symlink in a
@@ -329,7 +332,7 @@ object SparkEntry {
     "embedding_near_dups" -> ((s, dir) =>
       graft.operators.Similarity.nearDupPairsBlocked(
         s.read.parquet(s"$dir/embeddings.parquet"), col("vec_id"), col("embedding"),
-        threshold = 0.42, nBlocks = 16)),
+        threshold = 0.42)), // nBlocks auto-sized from file-scan stats
 
     // --- multimodal binary columns (decode step stubbed; plumbing real) ---
 

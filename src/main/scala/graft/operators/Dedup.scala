@@ -97,16 +97,22 @@ object Dedup {
           i += 1
         }
         // rotation densification: empty slot s takes the value of the next
-        // non-empty slot to the right (cyclic), mixed with the distance so
-        // two docs' borrowed slots agree iff they borrowed the same value
-        // from the same relative position
+        // ORIGINALLY non-empty slot to the right (cyclic), mixed with the
+        // distance so two docs' borrowed slots agree iff they borrowed the
+        // same value from the same relative position. Borrowing against a
+        // snapshot (not in place) keeps every filled slot single-tagged
+        // (v + d·C): in-place filling lets a wrapped-around search borrow an
+        // already-densified value, compounding tags (v + d1·C + d2·C) that
+        // can spuriously equal another doc's direct borrow at distance d1+d2
+        // and bias est_jaccard upward for shingle-sparse docs.
+        val orig = sig.clone()
         var s = 0
         while (s < numHashes) {
-          if (sig(s) == Long.MaxValue) {
+          if (orig(s) == Long.MaxValue) {
             var d = 1
-            while (d < numHashes && sig((s + d) % numHashes) == Long.MaxValue) d += 1
+            while (d < numHashes && orig((s + d) % numHashes) == Long.MaxValue) d += 1
             if (d < numHashes)
-              sig(s) = sig((s + d) % numHashes) + d * 0xbf58476d1ce4e5b9L
+              sig(s) = orig((s + d) % numHashes) + d * 0xbf58476d1ce4e5b9L
           }
           s += 1
         }

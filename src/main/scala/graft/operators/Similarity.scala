@@ -26,6 +26,40 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Grid-kernel sizing defaults (see [[nearDupPairsBlocked]]): auto-sizing
+    * targets ~64 MiB of vectors per block row; an explicit nBlocks implying
+    * more than 256 MiB per block fails fast. Overridable per session via
+    * spark.graft.grid.targetBlockBytes / spark.graft.grid.maxBlockBytes.
+    */
+  private[graft] val GridTargetBlockBytes: Long = 64L << 20
+  private[graft] val GridMaxBlockBytes: Long    = 256L << 20
+  private val GridMaxBlocks: Int                = 1024
+
+  /** Catalyst reports leaf plans without stats as ~Long.MaxValue bytes (the
+    * unknown sentinel); anything above 1 PiB is treated as "no estimate"
+    * rather than a genuine size (same caveat as Dedup.exactJaccard's
+    * cutover — materialize synthetic corpora to parquet for real stats).
+    */
+  private[graft] def statsKnown(estBytes: BigInt): Boolean =
+    estBytes > 0 && estBytes < BigInt(1L << 50)
+
+  /** Auto-sized block count for [[nearDupPairsBlocked]]: the parallelism
+    * floor √(2·shufflePartitions) (so cells ≈ partitions), raised to
+    * ceil(inputBytes / targetBlockBytes) when planning-time stats are real
+    * (so one block's collect_list row stays task-sized), floored at 16 and
+    * capped at [[GridMaxBlocks]] (the grid itself is nBlocks·(nBlocks+1)/2
+    * broadcast rows; past ~64 GB input the n²/2 dots are infeasible anyway).
+    */
+  private[graft] def autoGridBlocks(estBytes: BigInt, shufflePartitions: Int,
+                                    targetBlockBytes: Long): Int = {
+    val byParallelism = math.ceil(math.sqrt(2.0 * shufflePartitions.max(1))).toInt
+    val byPayload =
+      if (!statsKnown(estBytes)) 1
+      else ((estBytes + targetBlockBytes - 1) / targetBlockBytes)
+        .min(GridMaxBlocks).toInt
+    math.min(GridMaxBlocks, math.max(16, math.max(byParallelism, byPayload)))
+  }
+
   /** Cosine similarity of two float-array columns, computed in double with
     * left-to-right accumulation (deterministic, oracle-reproducible).
     */
@@ -221,34 +255,45 @@ object Similarity {
     // is a positive constant across cells, so dropping it preserves both the
     // argmax and the probe ordering (same left-to-right double accumulation
     // as VecDot)
+    // Length-mismatched vectors get NO cell (VecDot parity: a ragged pair
+    // yields null ⇒ row dropped; the grid kernel likewise skips ragged
+    // pairs) — a prefix dot product would silently assign a mixed-dimension
+    // corpus to arbitrary cells.
     def cellSims(v: Array[Float]): Array[Double] = {
       val sims = new Array[Double](centArr.length)
       var ci = 0
       while (ci < centArr.length) {
         val cent = centArr(ci)._2
-        var acc  = 0.0
-        var i    = 0
-        val n    = math.min(cent.length, v.length)
-        while (i < n) { acc += v(i).toDouble * cent(i).toDouble; i += 1 }
-        sims(ci) = acc / centArr(ci)._3
+        if (cent.length != v.length) sims(ci) = Double.NegativeInfinity
+        else {
+          var acc = 0.0
+          var i   = 0
+          while (i < cent.length) { acc += v(i).toDouble * cent(i).toDouble; i += 1 }
+          sims(ci) = acc / centArr(ci)._3
+        }
         ci += 1
       }
       sims
     }
     val assignUdf = udf { (v: Array[Float]) =>
       val sims = cellSims(v)
-      var best = 0
-      var i    = 1
-      while (i < sims.length) { if (sims(i) > sims(best)) best = i; i += 1 }
-      centArr(best)._1
+      var best = -1
+      var i    = 0
+      while (i < sims.length) {
+        if (sims(i) != Double.NegativeInfinity && (best < 0 || sims(i) > sims(best))) best = i
+        i += 1
+      }
+      if (best < 0) null else java.lang.Long.valueOf(centArr(best)._1)
     }
     val probeUdf = udf { (v: Array[Float]) =>
       val sims = cellSims(v)
       centArr.indices.toArray
+        .filter(i => sims(i) != Double.NegativeInfinity)
         .sortBy(i => (-sims(i), centArr(i)._1))
         .take(nProbe).map(i => centArr(i)._1)
     }
     val assigned = c.withColumn("cell", assignUdf(col("cvec")))
+      .where(col("cell").isNotNull)
       .select(col("cell"), col("neighbor_id"), col("cvec"), col("cn"))
     // query side probes its nProbe nearest cells
     val q = queries.select(queryId.cast("long").as("query_id"), queryVec.as("qvec"))
@@ -302,6 +347,21 @@ object Similarity {
     * partitions → nBlocks ≈ √(2·partitions)); replication cost is
     * n·nBlocks/2 fixed-size rows, and compute is the irreducible n²/2 dots.
     *
+    * Block sizing is GUARDED, because each block aggregates all its vectors
+    * into ONE `collect_list` row — per-block payload grows O(n/nBlocks) and
+    * an undersized nBlocks turns a correct query into an executor OOM / 2 GB
+    * array failure at scale, not a slow query. `nBlocks <= 0` (the default)
+    * auto-sizes from planning-time stats: nBlocks = max(parallelism floor
+    * √(2·shufflePartitions), ceil(inputBytes / targetBlockBytes)), capped at
+    * 1024 (a 64 GB input — past which the n²/2 dot products are infeasible
+    * anyway). An EXPLICIT nBlocks whose implied per-block payload exceeds
+    * `spark.graft.grid.maxBlockBytes` fails fast with the sizing formula.
+    * Stats caveat (same as Dedup.exactJaccard): file-scan plans carry real
+    * sizes; in-memory/synthetic plans may report the unknown sentinel, which
+    * disables the payload term/guard — materialize such corpora to parquet
+    * first. Confs: spark.graft.grid.targetBlockBytes (default 64 MiB),
+    * spark.graft.grid.maxBlockBytes (default 256 MiB).
+    *
     * The cell interior is a DENSE KERNEL, not a row join: each side's block
     * aggregates its vectors into one array row, the grid join matches
     * nBlocks·(nBlocks+1)/2 block-pair rows, and a per-cell tight loop scores
@@ -312,19 +372,43 @@ object Similarity {
     * worth ~20 s (BENCH.md scale rehearsal).
     */
   def nearDupPairsBlocked(df: DataFrame, id: Column, vec: Column,
-                          threshold: Double, nBlocks: Int = 16): DataFrame = {
+                          threshold: Double, nBlocks: Int = 0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val v = df.select(id.cast("long").as("id"), vec.as("v"))
+    val projected = df.select(id.cast("long").as("id"), vec.as("v"))
+    val estBytes  = projected.queryExecution.optimizedPlan.stats.sizeInBytes
+    val target    = spark.conf.getOption("spark.graft.grid.targetBlockBytes")
+      .map(_.toLong).getOrElse(GridTargetBlockBytes)
+    val shuffleParts = spark.sessionState.conf.numShufflePartitions
+    val nb =
+      if (nBlocks <= 0) autoGridBlocks(estBytes, shuffleParts, target)
+      else {
+        val maxBlock = spark.conf.getOption("spark.graft.grid.maxBlockBytes")
+          .map(_.toLong).getOrElse(GridMaxBlockBytes)
+        if (statsKnown(estBytes)) {
+          val perBlock = estBytes / nBlocks
+          require(perBlock <= maxBlock,
+            s"nearDupPairsBlocked: nBlocks=$nBlocks implies ~$perBlock B per " +
+              s"block (input ~$estBytes B), over the $maxBlock B bound — each " +
+              "block is ONE collect_list row, so an undersized grid OOMs at " +
+              "scale. Size nBlocks >= ceil(inputBytes/targetBlockBytes) = " +
+              s"${((estBytes + target - 1) / target).max(1)} (and >= " +
+              f"sqrt(2*shufflePartitions) = ${math.sqrt(2.0 * shuffleParts)}%.0f " +
+              "for parallelism), pass nBlocks <= 0 to auto-size, or raise " +
+              "spark.graft.grid.maxBlockBytes.")
+        }
+        nBlocks
+      }
+    val v = projected
       .withColumn("nrm", sqrt(VecDot(col("v"), col("v"))))
       .where(col("nrm") > 0) // NaN-guard: see cosineTopK (NaN >= threshold is
       // TRUE under Spark's NaN-largest ordering, so zero vectors would pair
       // with everything in an operator documented as exact)
-      .withColumn("blk", pmod(xxhash64(col("id")), lit(nBlocks)).cast("int"))
+      .withColumn("blk", pmod(xxhash64(col("id")), lit(nb)).cast("int"))
     // one row per block: (blk, ids, vecs, norms) — the dense-cell payload
     val blocks = v.groupBy(col("blk"))
       .agg(collect_list(struct(col("id"), col("v"), col("nrm"))).as("rows"))
-    val grid = (for { i <- 0 until nBlocks; j <- i until nBlocks } yield (i, j))
+    val grid = (for { i <- 0 until nb; j <- i until nb } yield (i, j))
       .toDF("bi", "bj")
     val cells = blocks.join(broadcast(grid), col("blk") === col("bi"))
       .select(col("bi"), col("bj"), col("rows").as("lrows"))

@@ -35,4 +35,22 @@ class BenchGuardSpec extends AnyFunSuite {
     val times = graft.Bench.readPrevBenchTimes("/root/testdata/sf1.0-nonexistent")
     assert(times.isEmpty, s"sf-scoping failed: $times")
   }
+
+  test("readPrevBenchTimes parses the self-persisted artifact (BENCH_SELF.json)") {
+    // the bench writes its full JSON line to BENCH_SELF.json so the committed
+    // record survives the driver's lossy stdout capture; that file must also
+    // feed the floor guard
+    val self = new java.io.File("BENCH_SELF.json")
+    assume(self.exists, "no BENCH_SELF.json in cwd (bench not yet run here)")
+    val text  = scala.io.Source.fromFile(self).mkString
+    val sfDir = """"sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(text).map(_.group(1))
+    assume(sfDir.isDefined, "BENCH_SELF.json has no \"sf\" field")
+    val someKey = """"queries"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(text)
+      .flatMap(m => """"([a-z0-9_]+)"\s*:\s*[0-9]""".r
+        .findFirstMatchIn(m.group(1)).map(_.group(1)))
+    assume(someKey.isDefined, "BENCH_SELF.json has no query entries")
+    val times = graft.Bench.readPrevBenchTimes(sfDir.get)
+    assert(times.contains(someKey.get),
+      s"missing ${someKey.get} from BENCH_SELF.json in ${times.keys.toSeq.sorted}")
+  }
 }

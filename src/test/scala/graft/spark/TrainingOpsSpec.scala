@@ -200,4 +200,44 @@ class TrainingOpsSpec extends AnyFunSuite {
     // closed form: ((0*31+3)*31+4)*31+2 = 2911... for lengths 2,3,1 -> (len+1)
     assert(fp(1L) == ((3L * 31 + 4) * 31 + 2) % 2147483647L)
   }
+
+  test("grid kernel auto-sizes nBlocks from stats; undersized explicit grid fails fast") {
+    val tgt = 64L << 20 // 64 MiB default target
+    // unknown-stats sentinel (>1 PiB) -> parallelism floor only
+    assert(Similarity.autoGridBlocks(BigInt(1L) << 60, 32, tgt) == 16)
+    // payload term: bigger input -> more blocks (10 GiB / 64 MiB = 160)
+    val small = Similarity.autoGridBlocks(BigInt(100L << 20), 32, tgt)
+    val big   = Similarity.autoGridBlocks(BigInt(10L << 30), 32, tgt)
+    assert(small == 16 && big == 160 && big > small)
+    // capped at 1024 (1 TiB input would ask for 16384 blocks)
+    assert(Similarity.autoGridBlocks(BigInt(1L) << 40, 32, tgt) == 1024)
+
+    // integration over a FILE-BACKED plan (real planning-time stats): the
+    // default auto-sized grid returns the same exact pairs as an explicit
+    // well-sized one, and an explicit grid whose per-block payload exceeds
+    // maxBlockBytes is rejected with the sizing formula in the message.
+    val rng = new scala.util.Random(7)
+    val a   = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
+    val docs = (0L until 120L).map { i =>
+      if (i % 3 == 0) (i, a.map(x => x + rng.nextGaussian().toFloat * 0.01f))
+      else (i, Array.fill(16)(rng.nextGaussian().toFloat))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("gridguard").toString
+    try {
+      docs.toDF("vec_id", "embedding").write.mode("overwrite").parquet(dir)
+      val corpus = spark.read.parquet(dir)
+      def pairs(nb: Int) = Similarity
+        .nearDupPairsBlocked(corpus, $"vec_id", $"embedding", threshold = 0.95, nBlocks = nb)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val auto = pairs(0) // auto-sized
+      assert(auto.nonEmpty && auto == pairs(4))
+
+      spark.conf.set("spark.graft.grid.maxBlockBytes", "64") // bytes, absurdly tight
+      val ex = intercept[IllegalArgumentException](pairs(2))
+      assert(ex.getMessage.contains("collect_list") && ex.getMessage.contains("auto-size"))
+    } finally {
+      spark.conf.unset("spark.graft.grid.maxBlockBytes")
+      graft.SparkEntry.deleteRecursively(java.nio.file.Paths.get(dir))
+    }
+  }
 }
