@@ -187,7 +187,8 @@ object Dedup {
   def exactJaccard(
       pairs: DataFrame, // (a, b)
       docs: DataFrame,  // (doc_id, text)
-      shingleSize: Int = 5
+      shingleSize: Int = 5,
+      narrowToCandidates: Option[Boolean] = None
   ): DataFrame = {
     // Above a size cutover, only docs that appear in a candidate pair get
     // shingled: the semi-join costs an 8-byte-key shuffle and keeps the
@@ -197,13 +198,18 @@ object Dedup {
     // 33 s). Below the cutover the filter LOSES: deriving `ids` re-executes
     // the candidate subplan, which dwarfs a small corpus's shingle shuffle
     // (measured +1.6 s on the 500-doc driver table) — same stats-based
-    // cutover idea as TopK.globalTopK's tree-vs-flat choice. CAVEAT: the
-    // estimate is reliable for file-scan plans (all in-repo callers); for
-    // synthetic/in-memory doc plans the optimizer may under- or over-state
-    // size and pick the slower side — materialize such corpora to parquet
-    // first if the verify stage matters at scale.
-    val filterDocs =
-      docs.queryExecution.optimizedPlan.stats.sizeInBytes > (64L << 20)
+    // cutover idea as TopK.globalTopK's tree-vs-flat choice. Cutover order:
+    // the caller's explicit `narrowToCandidates` wins; else sizeInBytes when
+    // the plan carries a real estimate (file scans do); else the row-count
+    // stat (in-memory plans often report the 8 EiB unknown-size sentinel but
+    // a real rowCount); else TRUE — at unknown scale the semi-join is the
+    // side that degrades gracefully (a few wasted seconds on a tiny corpus
+    // vs an unbounded shingle shuffle on a huge one).
+    val stats = docs.queryExecution.optimizedPlan.stats
+    val filterDocs = narrowToCandidates.getOrElse {
+      if (Similarity.statsKnown(stats.sizeInBytes)) stats.sizeInBytes > (64L << 20)
+      else stats.rowCount.map(_ > BigInt(64000)).getOrElse(true)
+    }
     val base = docs.select(col("doc_id"), col("text"))
     val narrowed =
       if (!filterDocs) base

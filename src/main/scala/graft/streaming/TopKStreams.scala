@@ -99,13 +99,20 @@ object TopKStreams {
     * @param watermarkDelay lateness bound; also defines tick completeness
     * @param cfg     sliding geometry; cfg.windowSize is the window in ticks
     * @param emitK   rows emitted per completed tick
+    * @param reduceMetrics optional (rowsIn, rowsOut) accumulators for the
+    *                map-side partial reduce — the production dial for "is
+    *                the reduce compacting on this stream's key/item shape"
+    *                (counts added once per partition per batch; zero
+    *                overhead when None)
     */
   def sliding(
       updates: DataFrame,
       tickMillis: Long,
       watermarkDelay: String,
       cfg: SlidingConfig,
-      emitK: Int
+      emitK: Int,
+      reduceMetrics: Option[(org.apache.spark.util.LongAccumulator,
+        org.apache.spark.util.LongAccumulator)] = None
   ): Dataset[TickTopK] = {
     val spark = updates.sparkSession
     import spark.implicits._
@@ -150,13 +157,16 @@ object TopKStreams {
     //    exact, since the offset log pins batch contents.
     val reduced = typed.mapPartitions { rows =>
       val agg = new java.util.HashMap[(String, Long, String), Array[Long]]()
+      var in  = 0L
       rows.foreach { case (k, ts, item, w) =>
         val tsm  = ts.getTime
         val cell = agg.computeIfAbsent((k, Math.floorDiv(tsm, tickMillis), item),
           _ => Array(Long.MinValue, 0L))
         if (tsm > cell(0)) cell(0) = tsm
         if (w > 0) cell(1) += w
+        in += 1
       }
+      reduceMetrics.foreach { case (ai, ao) => ai.add(in); ao.add(agg.size.toLong) }
       import scala.jdk.CollectionConverters._
       agg.entrySet().iterator().asScala.map { e =>
         (e.getKey._1, new java.sql.Timestamp(e.getValue()(0)), e.getKey._3,

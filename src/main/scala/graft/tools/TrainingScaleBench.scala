@@ -16,9 +16,14 @@ import org.apache.spark.sql.functions._
   * pair at the middle size. Results append to BENCH.md.
   *
   * Usage: runMain graft.tools.TrainingScaleBench [quick] [only=op1,op2]
+  *                                               [corepair=top]
   *   quick   — smallest sizes only, 1 pass (smoke test of the harness).
   *   only=.. — restrict to the named operators (targeted re-measure after a
   *             fix; results print but BENCH.md is not rewritten).
+  *   corepair=top — run ONLY the 4-vs-16-core pair, at each operator's TOP
+  *             ladder size (the mid sizes sit on the ~0.5-1 s fixed per-job
+  *             floor, so their efficiency numbers measure the floor, not the
+  *             operator); skips the data ladder and recall sections.
   */
 object TrainingScaleBench {
 
@@ -101,7 +106,8 @@ object TrainingScaleBench {
   )
 
   def main(args: Array[String]): Unit = {
-    val quick  = args.contains("quick")
+    val quick   = args.contains("quick")
+    val coreTop = args.contains("corepair=top")
     val only   = args.find(_.startsWith("only="))
       .map(_.stripPrefix("only=").split(',').toSet)
     val ops    = this.ops.filter(op => only.forall(_.contains(op.name)))
@@ -109,7 +115,10 @@ object TrainingScaleBench {
 
     // ---- corpora generation + data-size ladder at local[32] ----
     var spark = session(32)
-    val sizesOf: Op => Seq[Long] = op => if (quick) op.sizes.take(1) else op.sizes
+    val sizesOf: Op => Seq[Long] = op =>
+      if (quick) op.sizes.take(1)
+      else if (coreTop) op.sizes.takeRight(1) // only the top size is timed
+      else op.sizes
     // materialize every corpus first (generation excluded from timings)
     ops.foreach(op => sizesOf(op).foreach { n =>
       op.name match {
@@ -119,18 +128,19 @@ object TrainingScaleBench {
       }
     })
     val best = scala.collection.mutable.Map.empty[(String, Long), (Long, Double)]
-    for (pass <- 1 to passes; op <- ops; n <- sizesOf(op)) {
-      val (rows, sec) = graft.Bench.time(op.run(spark, n))
-      println(f"[scale] pass$pass ${op.name}%-22s n=$n%-8d rows=$rows%-8d $sec%7.2f s")
-      val k = (op.name, n)
-      if (!best.contains(k) || sec < best(k)._2) best(k) = (rows, sec)
-    }
+    if (!coreTop)
+      for (pass <- 1 to passes; op <- ops; n <- sizesOf(op)) {
+        val (rows, sec) = graft.Bench.time(op.run(spark, n))
+        println(f"[scale] pass$pass ${op.name}%-22s n=$n%-8d rows=$rows%-8d $sec%7.2f s")
+        val k = (op.name, n)
+        if (!best.contains(k) || sec < best(k)._2) best(k) = (rows, sec)
+      }
 
     // ANN recall vs exact at the mid size (untimed; correctness context for
     // the approximate rows above) — skipped when a targeted only= run does
     // not include an ANN operator (it would generate/scan the embedding
     // corpus for numbers the skipped report never shows)
-    val wantRecall = ops.exists(_.name.startsWith("ann_"))
+    val wantRecall = !coreTop && ops.exists(_.name.startsWith("ann_"))
     val midN = if (quick) 10000L else 100000L
     def pairs(df: DataFrame) = df.select("query_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -151,9 +161,10 @@ object TrainingScaleBench {
       return
     }
 
-    // ---- 4-vs-16-core pair at the MIDDLE size (separate sessions,
-    // levels interleaved, min-of-2) ----
-    val midIdx = 1
+    // ---- 4-vs-16-core pair (separate sessions, levels interleaved,
+    // min-of-2) at the MIDDLE size by default, at the TOP size with
+    // corepair=top (compute-dominated; the mid sizes ride the per-job floor)
+    val midIdx = if (coreTop) 2 else 1
     val coreBest = scala.collection.mutable.Map.empty[(String, Int), Double]
     for (rep <- 1 to 2; cores <- Seq(4, 16)) {
       val s = session(cores)
@@ -170,21 +181,25 @@ object TrainingScaleBench {
 
     // ---- report ----
     val md = new StringBuilder
-    md.append("\n## Training-operator scale rehearsal (ScaleCorpus, min-of-2 interleaved)\n\n")
-    md.append("Deterministic corpora with planted near-duplicates (docs: 10-doc\n")
-    md.append("clusters with 2 perturbed copies; embeddings: 4096 clusters with a\n")
-    md.append("tight cos>0.999 tier; events: 100/user, 1-90 min gaps). Times are\n")
-    md.append("full-pipeline walls at local[32] including scan; rows = operator\n")
-    md.append("output rows at that size.\n\n")
-    md.append("| operator | size ladder | wall s | output rows |\n|---|---|---|---|\n")
-    ops.foreach { op =>
-      val walls = op.sizes.map(n => f"${best((op.name, n))._2}%.2f").mkString(" / ")
-      val rows  = op.sizes.map(n => best((op.name, n))._1.toString).mkString(" / ")
-      md.append(s"| ${op.name} | ${op.sizes.mkString(" / ")} | $walls | $rows |\n")
-    }
+    if (!coreTop) {
+      md.append("\n## Training-operator scale rehearsal (ScaleCorpus, min-of-2 interleaved)\n\n")
+      md.append("Deterministic corpora with planted near-duplicates (docs: 10-doc\n")
+      md.append("clusters with 2 perturbed copies; embeddings: 4096 clusters with a\n")
+      md.append("tight cos>0.999 tier; events: 100/user, 1-90 min gaps). Times are\n")
+      md.append("full-pipeline walls at local[32] including scan; rows = operator\n")
+      md.append("output rows at that size.\n\n")
+      md.append("| operator | size ladder | wall s | output rows |\n|---|---|---|---|\n")
+      ops.foreach { op =>
+        val walls = op.sizes.map(n => f"${best((op.name, n))._2}%.2f").mkString(" / ")
+        val rows  = op.sizes.map(n => best((op.name, n))._1.toString).mkString(" / ")
+        md.append(s"| ${op.name} | ${op.sizes.mkString(" / ")} | $walls | $rows |\n")
+      }
+    } else
+      md.append("\n## Training-operator core pairs at TOP ladder sizes (corepair=top)\n")
     if (wantRecall)
       md.append(f"\nANN recall vs exact at n=100k, k=10, 100 queries: LSH $lshR%.3f, IVF $ivfR%.3f.\n")
-    md.append("\n| operator | mid size | 4-core s | 16-core s | eff(4->16) |\n|---|---|---|---|---|\n")
+    val sizeCol = if (coreTop) "top size" else "mid size"
+    md.append(s"\n| operator | $sizeCol | 4-core s | 16-core s | eff(4->16) |\n|---|---|---|---|---|\n")
     ops.foreach { op =>
       val n  = op.sizes(midIdx)
       val t4 = coreBest((op.name, 4)); val t16 = coreBest((op.name, 16))

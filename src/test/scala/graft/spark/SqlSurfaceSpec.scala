@@ -184,6 +184,29 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(tree == flat && tree.head == ("0", 200L))
   }
 
+  test("SqlMacros.topkTokensTreeSql generates the documented tree composition") {
+    val rows = (0 until 200).map(i => (i, (0 until 40).filter(t => i % (t + 1) == 0).toArray))
+    rows.toDF("i", "tokens").repartition(8).createOrReplaceTempView("macro_t")
+    val sql = graft.functions.SqlMacros.topkTokensTreeSql(
+      "macro_t", "tokens", k = 5, fanIn = 4, width = 1024, depth = 3)
+    val tree = spark.sql(sql)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val flat = spark.sql(
+      """SELECT e.item, e.count FROM
+        |(SELECT topk_tokens(tokens, 5, 1024, 3) a FROM macro_t) t0
+        |LATERAL VIEW explode(a) t AS e
+        |ORDER BY e.count DESC, e.item""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(tree == flat && tree.head == ("0", 200L))
+    // defaulted geometry omits the positional args entirely
+    val defaulted = graft.functions.SqlMacros.topkTokensTreeSql("macro_t", "tokens", 5)
+    assert(defaulted.contains("topk_tokens_sketch(tokens, 5)"))
+    assert(spark.sql(defaulted).count() == 5)
+    // half-set geometry is rejected before it can build malformed SQL
+    intercept[IllegalArgumentException](
+      graft.functions.SqlMacros.topkTokensTreeSql("macro_t", "tokens", 5, width = 1024))
+  }
+
   test("blob decode memo: interleaved distinct blobs never return stale counts") {
     // topk_count/topk_query memoize the last decoded blob per expression
     // instance; rows alternating between two different blobs must each
