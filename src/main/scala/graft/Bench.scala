@@ -219,18 +219,22 @@ object Bench {
       try { tokenTopK(spark, dir, cfgLight); () } // warmup (JIT + page cache)
       catch { case _: Throwable => }
     // same interleave discipline as the query surface: one pass of all the
-    // jobs, three times, min per job
-    val tokenJobs: Seq[(String, () => Unit)] = Seq(
-      "light"   -> (() => { tokenTopK(spark, dir, cfgLight); () }),
-      "heavy"   -> (() => { tokenTopK(spark, dir, cfgHeavy); () }),
-      "explode" -> (() => { tokenTopKExplode(spark, dir, cfgLight); () }),
-      "exact"   -> (() => { tokenExact(spark, dir, 100); () })) ++
+    // jobs, three times, min per job. Each job gates on ITS OWN table, so a
+    // broken light table doesn't silently skip the headline job (or vice
+    // versa) — the surviving jobs still publish.
+    val tokenJobs: Seq[(String, () => Unit)] =
+      (if (dir.nonEmpty) Seq(
+        "light"   -> (() => { tokenTopK(spark, dir, cfgLight); () }),
+        "heavy"   -> (() => { tokenTopK(spark, dir, cfgHeavy); () }),
+        "explode" -> (() => { tokenTopKExplode(spark, dir, cfgLight); () }),
+        "exact"   -> (() => { tokenExact(spark, dir, 100); () }))
+      else Nil) ++
       (if (hdir.nonEmpty)
         Seq("headline" -> (() => { tokenTopK(spark, hdir, cfgHeavy); () }))
       else Nil)
     val tokenBest = scala.collection.mutable.Map.empty[String, Double]
       .withDefaultValue(Double.MaxValue)
-    if (dir.nonEmpty)
+    if (tokenJobs.nonEmpty)
       for (_ <- 1 to 3; (n, f) <- tokenJobs) {
         val (ok, sec) = time {
           try { f(); true }
@@ -256,14 +260,20 @@ object Bench {
     val qs    = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
     // headline throughput from the compute-dominated job (82M tokens, heavy
-    // geometry, ~5-6 s); light-job rate kept for cross-round comparability
-    val tokPerSec = if (headlineSec > 0) (hTokens / headlineSec).toLong
-                    else if (lightSec > 0) (nTokens / lightSec).toLong else -1L
+    // geometry, ~5-6 s); light-job rate kept for cross-round comparability.
+    // `tokens` must always be tokens_per_sec's denominator — if the headline
+    // table failed and the rate fell back to the light job, publishing
+    // hTokens=0 beside a light-derived rate would make the artifact
+    // internally inconsistent (errors[] already names the failed table).
+    val (tokCount, tokPerSec) =
+      if (headlineSec > 0) (hTokens, (hTokens / headlineSec).toLong)
+      else if (lightSec > 0) (nTokens, (nTokens / lightSec).toLong)
+      else (0L, -1L)
     val tokPerSecLight = if (lightSec > 0) (nTokens / lightSec).toLong else -1L
     val errJson = errors.map(e => "\"" + e + "\"").mkString("[", ",", "]")
     val resJson = resampled.map(e => "\"" + e + "\"").mkString("[", ",", "]")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","tokens":$hTokens%d,"tokens_per_sec":$tokPerSec%d,"tokens_light":$nTokens%d,"tokens_per_sec_light":$tokPerSecLight%d,"cpus":$cpus%s,"resampled":$resJson%s,"errors":$errJson%s}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","tokens":$tokCount%d,"tokens_per_sec":$tokPerSec%d,"tokens_light":$nTokens%d,"tokens_per_sec_light":$tokPerSecLight%d,"cpus":$cpus%s,"resampled":$resJson%s,"errors":$errJson%s}"""
     println(line)
     // persist the artifact: the driver's stdout `tail` capture truncated
     // BENCH_r04 to the last ~25 of 36 entries — the committed record must

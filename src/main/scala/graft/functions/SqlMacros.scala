@@ -20,10 +20,13 @@ object SqlMacros {
     *
     * `width`/`depth` (and optionally `decay`) pass through to
     * `topk_tokens_sketch`; leave them unset (≤ 0) for the engine defaults.
-    * ACCURACY NOTE (same as the blob surface's): per-partial heaps track the
-    * aggregate's internal k×4 oversampling only in the row-emitting
-    * aggregates; this composition emits exactly `k` rows from the merged
-    * sketch, matching `TopK.tokensArray` semantics.
+    * ACCURACY NOTE: per-partial heaps can drop an item that is top-k
+    * globally but not top-k in any slice (SqlFunctions' blob-surface note),
+    * so the generated partials oversample — the sketch k is k×oversample
+    * (default 4, matching `TopK.tokensArray`'s internal buffer), the
+    * GEOMETRY stays pinned to the user's k (explicit width/depth are always
+    * emitted, defaulting from k, never from the oversampled k), and
+    * `topk_rows` trims the merged sketch back to k.
     */
   def topkTokensTreeSql(
       table: String,
@@ -32,21 +35,27 @@ object SqlMacros {
       fanIn: Int = 64,
       width: Int = -1,
       depth: Int = -1,
-      decay: Double = -1.0
+      decay: Double = -1.0,
+      oversample: Int = 4
   ): String = {
     require(k > 0, s"k must be positive, got $k")
     require(fanIn > 0, s"fanIn must be positive, got $fanIn")
+    require(oversample > 0, s"oversample must be positive, got $oversample")
     require(width > 0 == depth > 0,
       s"width and depth must be set together, got width=$width depth=$depth")
     require(decay <= 0 || width > 0,
       "decay requires explicit width and depth (the builder's positional args)")
+    // resolve geometry from the USER's k (engine defaults), so oversampling
+    // the heap doesn't silently widen the sketch the way a bare
+    // topk_tokens_sketch(col, k*4) call would
+    val cfg = graft.core.SketchConfig.withDefaults(k,
+      width = width, depth = depth)
     val geo =
-      if (width <= 0) ""
-      else if (decay <= 0) s", $width, $depth"
-      else s", $width, $depth, $decay"
+      if (decay <= 0) s", ${cfg.width}, ${cfg.depth}"
+      else s", ${cfg.width}, ${cfg.depth}, $decay"
     s"""WITH partials AS (
        |  SELECT pmod(spark_partition_id(), $fanIn) AS g,
-       |         topk_tokens_sketch($tokensCol, $k$geo) AS b
+       |         topk_tokens_sketch($tokensCol, ${k * oversample}$geo) AS b
        |  FROM $table GROUP BY 1),
        |merged AS (SELECT topk_merge(b) AS mb FROM partials)
        |SELECT e.item, e.count, e.fingerprint FROM merged

@@ -84,8 +84,9 @@ object Dedup {
     udf { (shingles: Array[Long]) =>
       if (shingles == null || shingles.isEmpty) Array.empty[Long]
       else {
-        val sig = Array.fill(numHashes)(Long.MaxValue)
-        var i   = 0
+        val sig    = Array.fill(numHashes)(Long.MaxValue)
+        var filled = 0
+        var i      = 0
         while (i < shingles.length) {
           // ONE mix per shingle (SplitMix64), then route by residue
           var z = shingles(i) + 0x9e3779b97f4a7c15L
@@ -93,32 +94,43 @@ object Dedup {
           z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
           z ^= z >>> 31
           val slot = ((z % numHashes).toInt + numHashes) % numHashes
-          if (z < sig(slot)) sig(slot) = z
+          if (z < sig(slot)) { // a stored value is always < MaxValue, so the
+            if (sig(slot) == Long.MaxValue) filled += 1 // sentinel is unambiguous
+            sig(slot) = z
+          }
           i += 1
         }
-        // rotation densification: empty slot s takes the value of the next
-        // ORIGINALLY non-empty slot to the right (cyclic), mixed with the
-        // distance so two docs' borrowed slots agree iff they borrowed the
-        // same value from the same relative position. Borrowing against a
-        // snapshot (not in place) keeps every filled slot single-tagged
-        // (v + d·C): in-place filling lets a wrapped-around search borrow an
-        // already-densified value, compounding tags (v + d1·C + d2·C) that
-        // can spuriously equal another doc's direct borrow at distance d1+d2
-        // and bias est_jaccard upward for shingle-sparse docs.
-        val orig = sig.clone()
-        var s = 0
-        while (s < numHashes) {
-          if (orig(s) == Long.MaxValue) {
-            var d = 1
-            while (d < numHashes && orig((s + d) % numHashes) == Long.MaxValue) d += 1
-            if (d < numHashes)
-              sig(s) = orig((s + d) % numHashes) + d * 0xbf58476d1ce4e5b9L
-          }
-          s += 1
-        }
-        sig
+        if (filled == numHashes) sig // common case (shingles >> slots):
+        else densify(sig, numHashes) // skip the snapshot clone + scan
       }
     }
+
+  /** Rotation densification for [[minhashSignature]] — only reached when at
+    * least one slot is empty (docs with fewer distinct shingles than slots).
+    */
+  private def densify(sig: Array[Long], numHashes: Int): Array[Long] = {
+    // rotation densification: empty slot s takes the value of the next
+    // ORIGINALLY non-empty slot to the right (cyclic), mixed with the
+    // distance so two docs' borrowed slots agree iff they borrowed the
+    // same value from the same relative position. Borrowing against a
+    // snapshot (not in place) keeps every filled slot single-tagged
+    // (v + d·C): in-place filling lets a wrapped-around search borrow an
+    // already-densified value, compounding tags (v + d1·C + d2·C) that
+    // can spuriously equal another doc's direct borrow at distance d1+d2
+    // and bias est_jaccard upward for shingle-sparse docs.
+    val orig = sig.clone()
+    var s = 0
+    while (s < numHashes) {
+      if (orig(s) == Long.MaxValue) {
+        var d = 1
+        while (d < numHashes && orig((s + d) % numHashes) == Long.MaxValue) d += 1
+        if (d < numHashes)
+          sig(s) = orig((s + d) % numHashes) + d * 0xbf58476d1ce4e5b9L
+      }
+      s += 1
+    }
+    sig
+  }
 
   /** MinHash + LSH near-duplicate candidate pairs with estimated Jaccard.
     *

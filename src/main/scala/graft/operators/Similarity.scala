@@ -354,8 +354,9 @@ object Similarity {
     * auto-sizes from planning-time stats: nBlocks = max(parallelism floor
     * √(2·shufflePartitions), ceil(inputBytes / targetBlockBytes)), capped at
     * 1024 (a 64 GB input — past which the n²/2 dot products are infeasible
-    * anyway). An EXPLICIT nBlocks whose implied per-block payload exceeds
-    * `spark.graft.grid.maxBlockBytes` fails fast with the sizing formula.
+    * anyway). Any nBlocks — explicit OR auto-sized at its cap — whose
+    * implied per-block payload exceeds `spark.graft.grid.maxBlockBytes`
+    * fails fast with the sizing formula (never a silent OOM at scale).
     * Stats caveat (same as Dedup.exactJaccard): file-scan plans carry real
     * sizes; in-memory/synthetic plans may report the unknown sentinel, which
     * disables the payload term/guard — materialize such corpora to parquet
@@ -380,23 +381,35 @@ object Similarity {
     val target    = spark.conf.getOption("spark.graft.grid.targetBlockBytes")
       .map(_.toLong).getOrElse(GridTargetBlockBytes)
     val shuffleParts = spark.sessionState.conf.numShufflePartitions
+    val maxBlock = spark.conf.getOption("spark.graft.grid.maxBlockBytes")
+      .map(_.toLong).getOrElse(GridMaxBlockBytes)
+    // the same payload bound guards BOTH paths: an explicit undersized grid,
+    // and an auto-sized one whose GridMaxBlocks cap binds (past ~64 GiB of
+    // vectors the cap would otherwise silently re-admit oversized blocks —
+    // and at that input the n²/2 dots are infeasible anyway, so failing fast
+    // with the arithmetic is the honest outcome)
+    def requireBlockFits(nb: Int, source: String): Unit =
+      if (statsKnown(estBytes)) {
+        val perBlock = estBytes / nb
+        require(perBlock <= maxBlock,
+          s"nearDupPairsBlocked: $source nBlocks=$nb implies ~$perBlock B per " +
+            s"block (input ~$estBytes B), over the $maxBlock B bound — each " +
+            "block is ONE collect_list row, so an undersized grid OOMs at " +
+            "scale. Size nBlocks >= ceil(inputBytes/targetBlockBytes) = " +
+            s"${((estBytes + target - 1) / target).max(1)} (and >= " +
+            f"sqrt(2*shufflePartitions) = ${math.sqrt(2.0 * shuffleParts)}%.0f " +
+            "for parallelism), pass nBlocks <= 0 to auto-size, raise " +
+            "spark.graft.grid.maxBlockBytes, or — if auto-sizing hit its " +
+            "1024-block cap — use the LSH path: an input this large makes " +
+            "the exact all-pairs grid's n²/2 dot products infeasible.")
+      }
     val nb =
-      if (nBlocks <= 0) autoGridBlocks(estBytes, shuffleParts, target)
-      else {
-        val maxBlock = spark.conf.getOption("spark.graft.grid.maxBlockBytes")
-          .map(_.toLong).getOrElse(GridMaxBlockBytes)
-        if (statsKnown(estBytes)) {
-          val perBlock = estBytes / nBlocks
-          require(perBlock <= maxBlock,
-            s"nearDupPairsBlocked: nBlocks=$nBlocks implies ~$perBlock B per " +
-              s"block (input ~$estBytes B), over the $maxBlock B bound — each " +
-              "block is ONE collect_list row, so an undersized grid OOMs at " +
-              "scale. Size nBlocks >= ceil(inputBytes/targetBlockBytes) = " +
-              s"${((estBytes + target - 1) / target).max(1)} (and >= " +
-              f"sqrt(2*shufflePartitions) = ${math.sqrt(2.0 * shuffleParts)}%.0f " +
-              "for parallelism), pass nBlocks <= 0 to auto-size, or raise " +
-              "spark.graft.grid.maxBlockBytes.")
-        }
+      if (nBlocks <= 0) {
+        val auto = autoGridBlocks(estBytes, shuffleParts, target)
+        requireBlockFits(auto, "auto-sized")
+        auto
+      } else {
+        requireBlockFits(nBlocks, "explicit")
         nBlocks
       }
     val v = projected

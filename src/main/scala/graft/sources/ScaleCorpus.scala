@@ -129,8 +129,18 @@ object ScaleCorpus {
 
   /** Write-once cache under data/ (idempotent by _SUCCESS, like
     * TokenTables.ensure); returns the directory.
+    *
+    * LOCAL-ONLY by design (bench/rehearsal corpora): the _SUCCESS probe is
+    * java.io.File, which cannot see hdfs://-style paths — a remote dir would
+    * silently regenerate the corpus on every call, so it is rejected. The
+    * cache keys on the directory name alone: callers MUST encode every
+    * generator parameter that matters in the name (the in-repo callers
+    * encode the size, and the other knobs are compile-time constants) —
+    * changing a generator default while reusing a dir name serves stale data.
     */
   def ensure(dir: String, build: () => DataFrame): String = {
+    require(!dir.contains("://"),
+      s"ScaleCorpus.ensure caches via java.io.File and is local-only; got $dir")
     val success = new java.io.File(dir, "_SUCCESS")
     if (!success.exists()) build().write.mode("overwrite").parquet(dir)
     dir

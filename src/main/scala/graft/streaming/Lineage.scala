@@ -48,11 +48,18 @@ object Lineage {
       else Set.empty
     listNames(offsets)
       .flatMap { name =>
-        name.toLongOption.map { id =>
+        name.toLongOption.flatMap { id =>
           // offset log: line 1 = "v1", line 2 = metadata JSON, then one
-          // offset JSON per source
-          val lines = Files.readAllLines(offsets.resolve(name)).asScala.toSeq
-          BatchLineage(id, committed.contains(id), lines.drop(2))
+          // offset JSON per source. The engine PURGES old entries past
+          // minBatchesToRetain (default 100), so a file listed above can be
+          // gone by the time it is read — a monitoring call racing the purge
+          // must skip that batch, not throw. (The same purge means the
+          // report's horizon is the retained window, not all-time; raise
+          // spark.sql.streaming.minBatchesToRetain for a longer trail.)
+          try {
+            val lines = Files.readAllLines(offsets.resolve(name)).asScala.toSeq
+            Some(BatchLineage(id, committed.contains(id), lines.drop(2)))
+          } catch { case _: java.io.IOException => None }
         }
       }
       .sortBy(_.batchId)
@@ -65,8 +72,12 @@ object Lineage {
       s"batch ${b.batchId} [$status]: ${b.sourceOffsets.mkString(" | ")}"
     }.mkString("\n")
 
-  /** Per-batch metrics snapshot from StreamingQueryProgress. */
+  /** Per-batch metrics snapshot from StreamingQueryProgress. `queryId` keys
+    * the series: batchIds restart from each query's own log, so two queries
+    * on one session collide on batchId alone.
+    */
   final case class BatchMetrics(
+      queryId: java.util.UUID,
       batchId: Long,
       numInputRows: Long,
       processedRowsPerSecond: Double,
@@ -85,12 +96,16 @@ object Lineage {
 
     def metrics: Seq[BatchMetrics] = buf.synchronized(buf.toSeq)
 
+    /** One query's series, in arrival order. */
+    def metricsFor(queryId: java.util.UUID): Seq[BatchMetrics] =
+      metrics.filter(_.queryId == queryId)
+
     private def record(p: StreamingQueryProgress): Unit = {
       val (rows, bytes) = p.stateOperators.foldLeft((0L, 0L)) { (acc, so) =>
         (acc._1 + so.numRowsTotal, acc._2 + so.memoryUsedBytes)
       }
       buf.synchronized {
-        buf += BatchMetrics(p.batchId, p.numInputRows, p.processedRowsPerSecond, rows, bytes)
+        buf += BatchMetrics(p.id, p.batchId, p.numInputRows, p.processedRowsPerSecond, rows, bytes)
         while (buf.size > maxRetained) buf.removeHead()
       }
     }

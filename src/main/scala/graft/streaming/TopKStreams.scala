@@ -103,7 +103,12 @@ object TopKStreams {
     *                map-side partial reduce — the production dial for "is
     *                the reduce compacting on this stream's key/item shape"
     *                (counts added once per partition per batch; zero
-    *                overhead when None)
+    *                overhead when None). Accumulator caveat: updates from a
+    *                TRANSFORMATION are at-least-once — task retries and
+    *                speculative duplicates inflate both counters. The
+    *                in/out RATIO stays representative (both sides inflate
+    *                together); don't read the absolute counts as exact
+    *                row counts on a flaky cluster.
     */
   def sliding(
       updates: DataFrame,
@@ -114,6 +119,10 @@ object TopKStreams {
       reduceMetrics: Option[(org.apache.spark.util.LongAccumulator,
         org.apache.spark.util.LongAccumulator)] = None
   ): Dataset[TickTopK] = {
+    require(tickMillis > 0, s"tickMillis must be positive, got $tickMillis" +
+      " (zero divides by zero in the tick ordinal; negative inverts tick" +
+      " ordering and stalls tick completion forever)")
+    require(emitK > 0, s"emitK must be positive, got $emitK")
     val spark = updates.sparkSession
     import spark.implicits._
 

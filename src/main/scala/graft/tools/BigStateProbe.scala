@@ -13,9 +13,13 @@ import org.apache.spark.sql.streaming.Trigger
   * "when state no longer fits the executor heap", which until this tool was
   * an extrapolation. This probe grows join state to ~20M rows (~GBs): the
   * full 10M-event ScaleCorpus stream on BOTH join sides with disjoint keys
-  * (left = even ids, right = odd) and an interval wider than the stream's
-  * time span, so nothing matches (zero output rows — join compute excluded
-  * by construction) and nothing is evicted until end-of-stream: a pure
+  * (left = even ids, right = odd), so nothing matches (zero output rows —
+  * join compute excluded by construction), and a WATERMARK DELAY far wider
+  * than the stream's event-time span, so neither side's state is ever
+  * evictable. The delay — not the join interval — is what pins BOTH sides:
+  * the `ts_b > ts_a` bound gives the right side a state watermark equal to
+  * the global watermark, so with a small delay right-side rows are evicted
+  * every commit no matter how wide the interval is. The result is a pure
   * measurement of state-store insert/commit/footprint at a state size that
   * EXCEEDS a production executor's per-store heap share.
   *
@@ -38,8 +42,10 @@ object BigStateProbe {
     val providerClass = provider match {
       case "rocksdb" =>
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
-      case _ =>
+      case "hdfs" =>
         "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+      case other => sys.error( // a typo must not publish a mislabeled number
+        s"unknown provider '$other' (use hdfs | rocksdb)")
     }
     val spark = SparkSession.builder()
       .master("local[8]")
@@ -62,7 +68,7 @@ object BigStateProbe {
         col("ts"), col("event_type").as("payload"))
 
     val out = graft.streaming.StreamJoins.followsWithin(
-      side(0), side(1), withinSeconds = 1000000L, watermarkDelay = "0 seconds")
+      side(0), side(1), withinSeconds = 1000000L, watermarkDelay = "3650 days")
     val ckpt = Files.createTempDirectory("graft_bigstate_ckpt").toString
     val heap = Runtime.getRuntime.maxMemory() >> 20
     println(s"[bigstate] provider=$provider parts=$parts events=$nEvents " +

@@ -102,12 +102,31 @@ object TrainingScaleBench {
       SessionTopK.aggregateGap(s.read.parquet(eventsDir(s, nUsers)),
         col("user_id"), col("ts"), gapSeconds = 3600L,
         col("event_type"), lit(1L),
-        SketchConfig.withDefaults(3, width = 256, depth = 3)).count())
+        SketchConfig.withDefaults(3, width = 256, depth = 3)).count()),
+    // scan BASELINES: parquet decode + page-cache bandwidth with a trivial
+    // agg (xxhash64 touches every byte, ~free compute). These put a floor
+    // under the operator rows' core-pair efficiency — on ONE box the scan
+    // path (page cache, memory bus) is shared across cores, so a scan-bound
+    // operator can't beat the scan's own 4->16 ratio no matter how well its
+    // compute parallelizes; on a real cluster that resource scales WITH
+    // executors (each brings its own disks/NIC/memory channels).
+    Op("scan_vecs", Seq(10000L, 100000L, 1000000L), (s, n) =>
+      readVecs(s, n).agg(count(lit(1)), expr("bit_xor(xxhash64(embedding))"))
+        .head().getLong(0)),
+    Op("scan_docs", Seq(5000L, 50000L, 500000L), (s, n) =>
+      readDocs(s, n).agg(count(lit(1)), expr("bit_xor(xxhash64(text))"))
+        .head().getLong(0)),
+    Op("scan_events", Seq(1000L, 10000L, 100000L), (s, nUsers) =>
+      s.read.parquet(eventsDir(s, nUsers))
+        .agg(count(lit(1)), expr("bit_xor(xxhash64(user_id, ts, event_type))"))
+        .head().getLong(0))
   )
 
   def main(args: Array[String]): Unit = {
     val quick   = args.contains("quick")
     val coreTop = args.contains("corepair=top")
+    require(!(quick && coreTop),
+      "quick and corepair=top are mutually exclusive (quick returns before the core pair runs)")
     val only   = args.find(_.startsWith("only="))
       .map(_.stripPrefix("only=").split(',').toSet)
     val ops    = this.ops.filter(op => only.forall(_.contains(op.name)))
@@ -122,9 +141,9 @@ object TrainingScaleBench {
     // materialize every corpus first (generation excluded from timings)
     ops.foreach(op => sizesOf(op).foreach { n =>
       op.name match {
-        case "minhash_lsh+jaccard" | "simhash" => docsDir(spark, n)
-        case "sessions_gap"                    => eventsDir(spark, n)
-        case _                                 => vecsDir(spark, n)
+        case "minhash_lsh+jaccard" | "simhash" | "scan_docs" => docsDir(spark, n)
+        case "sessions_gap" | "scan_events"                  => eventsDir(spark, n)
+        case _                                               => vecsDir(spark, n)
       }
     })
     val best = scala.collection.mutable.Map.empty[(String, Long), (Long, Double)]
@@ -164,12 +183,16 @@ object TrainingScaleBench {
     // ---- 4-vs-16-core pair (separate sessions, levels interleaved,
     // min-of-2) at the MIDDLE size by default, at the TOP size with
     // corepair=top (compute-dominated; the mid sizes ride the per-job floor)
-    val midIdx = if (coreTop) 2 else 1
+    // one definition of "the pair size" shared with materialization above
+    // (sizesOf) and the report below — an index literal would silently
+    // desync if an op ever grows a 4th ladder rung
+    def pairSize(op: Op): Long =
+      if (coreTop) op.sizes.last else op.sizes(math.min(1, op.sizes.length - 1))
     val coreBest = scala.collection.mutable.Map.empty[(String, Int), Double]
     for (rep <- 1 to 2; cores <- Seq(4, 16)) {
       val s = session(cores)
       for (op <- ops) {
-        val n = op.sizes(midIdx)
+        val n = pairSize(op)
         if (rep == 1) op.run(s, n) // warmup once per session shape (both core levels)
         val (_, sec) = graft.Bench.time(op.run(s, n))
         println(f"[scale] cores=$cores%-2d rep$rep ${op.name}%-22s $sec%7.2f s")
@@ -201,7 +224,7 @@ object TrainingScaleBench {
     val sizeCol = if (coreTop) "top size" else "mid size"
     md.append(s"\n| operator | $sizeCol | 4-core s | 16-core s | eff(4->16) |\n|---|---|---|---|---|\n")
     ops.foreach { op =>
-      val n  = op.sizes(midIdx)
+      val n  = pairSize(op)
       val t4 = coreBest((op.name, 4)); val t16 = coreBest((op.name, 16))
       md.append(f"| ${op.name} | $n%d | $t4%.2f | $t16%.2f | ${t4 / t16 / 4.0}%.2f |\n")
     }
