@@ -17,19 +17,33 @@ object SparkEntry {
 
   private def events(s: SparkSession, dir: String)    = s.read.parquet(s"$dir/events.parquet")
   private def documents(s: SparkSession, dir: String) = s.read.parquet(s"$dir/documents.parquet")
+  // ASCII-only docs (chars == bytes) — the multimodal oracle parity filter;
+  // see the comment at the multimodal query block
+  private def asciiDocuments(s: SparkSession, dir: String) =
+    documents(s, dir).where(length(col("text")) === octet_length(col("text")))
   private def lineitem(s: SparkSession, dir: String)  = s.read.parquet(s"$dir/lineitem.parquet")
 
   // Collision-free geometry at verification scale: width >> distinct items.
   private val cfgWide  = SketchConfig.withDefaults(k = 5, width = 1024, depth = 3)
   private val cfgUsers = SketchConfig.withDefaults(k = 20, width = 4096, depth = 3)
 
-  /** Depth-first recursive delete, tolerant of concurrent removal. */
-  private[graft] def deleteRecursively(p: java.nio.file.Path): Unit = {
-    val walk = java.nio.file.Files.walk(p)
-    try walk.sorted(java.util.Comparator.reverseOrder())
-      .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
-    finally walk.close()
-  }
+  /** Depth-first recursive delete, tolerant of concurrent removal: both the
+    * walk's directory reads (UncheckedIOException wrapping NoSuchFileException
+    * when another JVM removes entries mid-traversal) and the deletes
+    * themselves can race a concurrent cleanup — this is best-effort /tmp
+    * hygiene, so any IO failure degrades to "leave it", never to an error.
+    */
+  private[graft] def deleteRecursively(p: java.nio.file.Path): Unit =
+    try {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f =>
+          try { java.nio.file.Files.deleteIfExists(f); () }
+          catch { case _: java.io.IOException => () })
+      finally walk.close()
+    } catch {
+      case _: java.io.IOException | _: java.io.UncheckedIOException => ()
+    }
 
   /** The streaming file source monitors a DIRECTORY (as in production); the
     * testdata table is a bare file, so expose it via a symlink in a
@@ -62,7 +76,16 @@ object SparkEntry {
       deleteRecursively(link)
     }
     if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
-      java.nio.file.Files.createSymbolicLink(link, target)
+      try java.nio.file.Files.createSymbolicLink(link, target)
+      catch {
+        // exists-check -> create is not atomic across JVMs (concurrent
+        // Verify/Bench runs on the same sf dir); losing the race is fine
+        // IF the winner linked the same target — re-verify instead of dying
+        case _: java.nio.file.FileAlreadyExistsException =>
+          require(java.nio.file.Files.isSymbolicLink(link) &&
+            java.nio.file.Files.readSymbolicLink(link) == target,
+            s"concurrent writer left $link pointing away from $target")
+      }
     srcDir
   }
 
@@ -235,6 +258,15 @@ object SparkEntry {
           array_join(col("doc_ids"), ",").as("doc_ids"), col("n_copies"))
     }),
 
+    // Oracle-parity is PROBABILISTIC here, in two documented ways: (a) the
+    // engine's Jaccard runs over 32-bit-hashed shingles (the scale design —
+    // raw shingle sets don't fit a shuffle at 100 TB) while the oracle uses
+    // raw substrings, so an intra-pair shingle collision (~(2L)²/2³³ per
+    // pair; negligible at this corpus's doc lengths, ~5% per pair only past
+    // ~10k chars) would shift one jaccard value; (b) LSH candidate recall at
+    // the 0.8 verify threshold is 1-(1-j⁴)³² ≈ 1-5e-8, not exactly 1, while
+    // the oracle enumerates all pairs. Both margins are arithmetic
+    // properties of the parameters, not tuning against the test data.
     "dedup_minhash_jaccard" -> ((s, dir) => {
       val docs = documents(s, dir).select(col("doc_id").cast("long").as("doc_id"), col("text"))
       val candidates = graft.operators.Dedup.minhashLshPairs(
@@ -248,12 +280,12 @@ object SparkEntry {
 
     // md5-derived token hash so the exact Hamming predicate is recomputable
     // by the external oracle (see Dedup.simhash64Md5). Token-less documents
-    // (null/empty/whitespace-only) are excluded to match the oracle, whose
-    // unnest produces no rows for them (they'd otherwise all share sig 0).
+    // (null/empty/whitespace-only) are excluded INSIDE the operator (its
+    // rlike("\\S") guard — they'd otherwise all share sig 0), matching the
+    // oracle, whose unnest produces no rows for them.
     "dedup_simhash" -> ((s, dir) =>
       graft.operators.Dedup.simhashPairs(
-        documents(s, dir).where(col("text").isNotNull && trim(col("text")) =!= ""),
-        col("doc_id"), col("text"),
+        documents(s, dir), col("doc_id"), col("text"),
         maxDistance = 3, hashUdf = graft.operators.Dedup.simhash64Md5)),
 
     "text_language_id" -> ((s, dir) =>
@@ -335,17 +367,25 @@ object SparkEntry {
         threshold = 0.42)), // nBlocks auto-sized from file-scan stats
 
     // --- multimodal binary columns (decode step stubbed; plumbing real) ---
+    // The synthetic payload is text.cast(binary) = UTF-8 BYTES, while the
+    // oracle recomputes the stub in SQL over CODEPOINTS (ord/len) — these
+    // agree only for single-byte chars, so both sides restrict to ASCII
+    // docs via byte-count equality (engine: length==octet_length; oracle:
+    // len==strlen). Today's corpora are 100% ASCII (filter drops 0 rows);
+    // a regenerated corpus with real zh/ja text stays green instead of
+    // hash-mismatching all four queries. Real codecs don't have this
+    // seam: they consume bytes on both sides.
 
     "multimodal_stats" -> ((s, dir) => {
       val media = graft.operators.Multimodal.syntheticMediaTable(
-        documents(s, dir), col("doc_id"), col("text"))
+        asciiDocuments(s, dir), col("doc_id"), col("text"))
       graft.operators.Multimodal.mediaStats(media)
         .select("doc_id", "payload_len", "byte_checksum")
     }),
 
     "multimodal_frames" -> ((s, dir) => {
       val media = graft.operators.Multimodal.syntheticMediaTable(
-        documents(s, dir), col("doc_id"), col("text"))
+        asciiDocuments(s, dir), col("doc_id"), col("text"))
       graft.operators.Multimodal.sampleFrames(media, nFrames = 8)
         .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
           length(col("frame_bytes")).cast("long").as("frame_len"))
@@ -357,7 +397,7 @@ object SparkEntry {
     // differential check of the decode plumbing, not just row counts
     "multimodal_features" -> ((s, dir) => {
       val media = graft.operators.Multimodal.syntheticMediaTable(
-        documents(s, dir), col("doc_id"), col("text"))
+        asciiDocuments(s, dir), col("doc_id"), col("text"))
       media.select(col("doc_id"),
           posexplode(graft.operators.Multimodal.extractFeatures(8)(col("payload")))
             .as(Seq("feat_idx", "f")))
@@ -370,7 +410,7 @@ object SparkEntry {
     // quantization is lossless on both engines
     "multimodal_resize" -> ((s, dir) => {
       val media = graft.operators.Multimodal.syntheticMediaTable(
-        documents(s, dir), col("doc_id"), col("text"))
+        asciiDocuments(s, dir), col("doc_id"), col("text"))
       media.select(col("doc_id"),
           posexplode(graft.operators.Multimodal.resize(4, 2)(col("payload")))
             .as(Seq("px_idx", "f")))
@@ -769,13 +809,13 @@ object SparkEntry {
                   list_prepend(CAST(0 AS BIGINT),
                     [CAST(ord(substr(text, i, 1)) AS BIGINT) FOR i IN range(1, len(text) + 1)]),
                   (a, b) -> (a + b) % 2147483647) AS byte_checksum
-         FROM documents""",
+         FROM documents WHERE len(text) = strlen(text)""",
 
     "multimodal_frames" ->
       """WITH m AS (
            SELECT CAST(doc_id AS VARCHAR) AS doc_id, len(text) AS plen,
                   greatest(1, len(text) // 8) AS fsize
-           FROM documents WHERE len(text) > 0)
+           FROM documents WHERE len(text) > 0 AND len(text) = strlen(text))
          SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
                 CAST(least(f * fsize + fsize, plen) - f * fsize AS BIGINT) AS frame_len
          FROM m, range(0, 8) t(f)
@@ -788,7 +828,7 @@ object SparkEntry {
                     list_prepend(CAST(0 AS BIGINT),
                       [CAST(ord(substr(text, i, 1)) AS BIGINT) FOR i IN range(1, len(text) + 1)]),
                     (a, b) -> (a + b) % 2147483647) AS b
-           FROM documents)
+           FROM documents WHERE len(text) = strlen(text))
          SELECT doc_id, CAST(i AS BIGINT) AS feat_idx,
                 ((((b + i + 1) * 2654435761 + 40503 * i) % 2147483648)
                   * 48271 % 2147483647) // 2048 AS feat_q
@@ -801,7 +841,7 @@ object SparkEntry {
                     list_prepend(CAST(0 AS BIGINT),
                       [CAST(ord(substr(text, i, 1)) AS BIGINT) FOR i IN range(1, len(text) + 1)]),
                     (a, b) -> (a + b) % 2147483647) AS b
-           FROM documents),
+           FROM documents WHERE len(text) = strlen(text)),
          px AS (
            SELECT doc_id, i // 4 AS px_idx,
                   ((((b + i + 1) * 2654435761 + 40503 * i) % 2147483648)

@@ -423,10 +423,22 @@ object Similarity {
       .agg(collect_list(struct(col("id"), col("v"), col("nrm"))).as("rows"))
     val grid = (for { i <- 0 until nb; j <- i until nb } yield (i, j))
       .toDF("bi", "bj")
+    // The score stage below is COMPUTE-dense per byte (n²/2 dots per cell),
+    // but the join's output partitioning is sized by bytes: shuffle
+    // partitions, then AQE *coalesces* toward its advisory partition size —
+    // bundling many cells into few tasks and idling cores (measured: util
+    // 0.48 at 16 cores, 136 cells in ~16 score tasks). An explicit
+    // repartition on the cell key with numPartitions set pins ~one cell per
+    // task (AQE honors user-specified partition counts); the extra exchange
+    // moves the same replicated payload the join already shuffled once, a
+    // bytes-linear cost that the quadratic score stage amortizes.
+    val nCells     = nb * (nb + 1) / 2
+    val scoreParts = math.min(nCells, 16 * shuffleParts)
     val cells = blocks.join(broadcast(grid), col("blk") === col("bi"))
       .select(col("bi"), col("bj"), col("rows").as("lrows"))
       .join(blocks.select(col("blk").as("bj2"), col("rows").as("rrows")),
         col("bj") === col("bj2"))
+      .repartition(scoreParts, col("bi"), col("bj"))
     // per-cell dense scoring; diagonal cells keep one orientation (a < b),
     // off-diagonal cells see each unordered pair exactly once
     val scoreCell = udf { (bi: Int, bj: Int, lrows: Seq[Row], rrows: Seq[Row]) =>
