@@ -102,7 +102,7 @@ object StreamBench {
 
     // min-of-2 with INTERLEAVED reps (a contended window hits one full pass,
     // not one config — see BENCH.md "host variance"); rep 1 doubles as warmup
-    val slideConfigs = Seq((1, 0), (32, 0), (256, 0), (256, 2048))
+    val slideConfigs = Seq((1, 0), (32, 0), (256, 0), (256, 2048), (256, 256))
     val passes = (1 to 2).map { rep =>
       (runTumbling(rep), slideConfigs.map { case (k, v) => runSliding(k, v, rep) })
     }
