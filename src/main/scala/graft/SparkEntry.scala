@@ -27,23 +27,36 @@ object SparkEntry {
   private val cfgWide  = SketchConfig.withDefaults(k = 5, width = 1024, depth = 3)
   private val cfgUsers = SketchConfig.withDefaults(k = 20, width = 4096, depth = 3)
 
-  /** Depth-first recursive delete, tolerant of concurrent removal: both the
-    * walk's directory reads (UncheckedIOException wrapping NoSuchFileException
-    * when another JVM removes entries mid-traversal) and the deletes
-    * themselves can race a concurrent cleanup — this is best-effort /tmp
-    * hygiene, so any IO failure degrades to "leave it", never to an error.
+  /** Depth-first recursive delete, tolerant of CONCURRENT REMOVAL only:
+    * another JVM deleting entries mid-traversal surfaces as
+    * NoSuchFileException from the walk's directory reads (wrapped in
+    * UncheckedIOException) or from the deletes — and "already gone" is this
+    * method's goal, so those are swallowed. Every OTHER IO failure
+    * (AccessDenied, open handle, non-empty dir left by a partial race)
+    * PROPAGATES: two call sites depend on delete failures being visible —
+    * Verify's stale-output guard (a silent failure there masks a failed
+    * query behind the previous run's plausible parquet) and
+    * streamSourceDir's squatter removal (a silent failure leaves the
+    * stream reading the wrong table).
     */
-  private[graft] def deleteRecursively(p: java.nio.file.Path): Unit =
+  private[graft] def deleteRecursively(p: java.nio.file.Path): Unit = {
+    def isConcurrentRemoval(e: Throwable): Boolean = e match {
+      case _: java.nio.file.NoSuchFileException => true
+      case u: java.io.UncheckedIOException =>
+        u.getCause.isInstanceOf[java.nio.file.NoSuchFileException]
+      case _ => false
+    }
     try {
       val walk = java.nio.file.Files.walk(p)
       try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(f =>
           try { java.nio.file.Files.deleteIfExists(f); () }
-          catch { case _: java.io.IOException => () })
+          catch { case e: java.io.IOException if isConcurrentRemoval(e) => () })
       finally walk.close()
     } catch {
-      case _: java.io.IOException | _: java.io.UncheckedIOException => ()
+      case e if isConcurrentRemoval(e) => ()
     }
+  }
 
   /** The streaming file source monitors a DIRECTORY (as in production); the
     * testdata table is a bare file, so expose it via a symlink in a

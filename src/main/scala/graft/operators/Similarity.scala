@@ -428,12 +428,17 @@ object Similarity {
     // partitions, then AQE *coalesces* toward its advisory partition size —
     // bundling many cells into few tasks and idling cores (measured: util
     // 0.48 at 16 cores, 136 cells in ~16 score tasks). An explicit
-    // repartition on the cell key with numPartitions set pins ~one cell per
-    // task (AQE honors user-specified partition counts); the extra exchange
-    // moves the same replicated payload the join already shuffled once, a
-    // bytes-linear cost that the quadratic score stage amortizes.
-    val nCells     = nb * (nb + 1) / 2
-    val scoreParts = math.min(nCells, 16 * shuffleParts)
+    // repartition on the cell key with numPartitions set spreads cells
+    // across tasks (AQE honors user-specified partition counts); the extra
+    // exchange moves the same replicated payload the join already shuffled
+    // once, a bytes-linear cost that the quadratic score stage amortizes.
+    // Partition count is 16x shuffle partitions, NOT capped at nCells:
+    // hashing nCells keys into exactly nCells bins is the balls-into-bins
+    // worst case (~1/e of partitions empty, stragglers of 3-4 cells), while
+    // a sparser key space cuts collisions and empty reduce tasks cost ~ms.
+    // When cells outnumber partitions (huge nb), many cells per partition
+    // balance by averaging instead.
+    val scoreParts = 16 * shuffleParts
     val cells = blocks.join(broadcast(grid), col("blk") === col("bi"))
       .select(col("bi"), col("bj"), col("rows").as("lrows"))
       .join(blocks.select(col("blk").as("bj2"), col("rows").as("rrows")),

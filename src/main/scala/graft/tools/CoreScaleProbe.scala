@@ -3,7 +3,6 @@ package graft.tools
 import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd, SparkListenerTaskStart}
-import org.apache.spark.sql.SparkSession
 
 /** WHY does an operator under-scale 4→16 cores? This probe separates the
   * two possible answers by measuring, per run:
@@ -64,28 +63,30 @@ object CoreScaleProbe {
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
-    require(args.length >= 2, "usage: CoreScaleProbe <opName> <cores> [reps]")
+    require(args.length >= 2,
+      "usage: CoreScaleProbe <opName> <cores> [reps] [parts=<n>] " +
+        "(reps positional or reps=<n>; unrecognized args are an error, " +
+        "never silently ignored)")
     val opName = args(0)
     val cores  = args(1).toInt
-    val reps   = if (args.length > 2 && !args(2).startsWith("parts=")) args(2).toInt else 2
-    val parts  = args.find(_.startsWith("parts=")).map(_.stripPrefix("parts=").toInt)
-      .getOrElse(cores)
+    val (kvArgs, posArgs) = args.drop(2).partition(_.contains("="))
+    val kv = kvArgs.map { a =>
+      val Array(k, v) = a.split("=", 2); k -> v.toInt
+    }.toMap
+    require((kv.keySet -- Set("parts", "reps")).isEmpty,
+      s"unknown key=value arg(s): ${(kv.keySet -- Set("parts", "reps")).mkString(", ")}")
+    require(posArgs.length <= 1, s"at most one positional [reps] arg, got: ${posArgs.mkString(" ")}")
+    require(posArgs.isEmpty || !kv.contains("reps"), "reps given both positionally and as reps=")
+    val reps  = posArgs.headOption.map(_.toInt).orElse(kv.get("reps")).getOrElse(2)
+    val parts = kv.getOrElse("parts", cores)
     val op = TrainingScaleBench.ops.find(_.name == opName)
       .getOrElse(sys.error(s"unknown op '$opName' (see TrainingScaleBench.ops)"))
     val n = op.sizes.last
 
-    val spark = SparkSession.builder()
-      .master(s"local[$cores]")
-      .appName(s"graft-corescale-$opName-$cores")
-      .config("spark.sql.shuffle.partitions", parts.toString)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.files.maxPartitionBytes", "4m")
-      .config("spark.sql.files.openCostInBytes", "262144")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // the probe's validity depends on running under the SAME session configs
+    // as the core-pair bench — shared builder, not copied literals
+    val spark = TrainingScaleBench.session(cores,
+      appName = s"graft-corescale-$opName-$cores", shuffleParts = parts)
     if (parts != cores) println(s"[corescale] parts override: $parts")
     val l = new TaskMetricsListener
     spark.sparkContext.addSparkListener(l)

@@ -27,11 +27,19 @@ import org.apache.spark.sql.functions._
   */
 object TrainingScaleBench {
 
-  private def session(cores: Int): SparkSession = {
+  /** The core-pair bench session. CoreScaleProbe MUST run under the same
+    * configs (its util/cpu numbers are read against this bench's eff
+    * numbers in BENCH.md), so it calls this builder rather than copying
+    * the literals; `shuffleParts` defaults to `cores` (the bench setting)
+    * and is overridable only for the probe's starvation-vs-stall test.
+    */
+  private[tools] def session(cores: Int, appName: String = "",
+                             shuffleParts: Int = 0): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
-      .appName(s"graft-training-scale-$cores")
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      .appName(if (appName.nonEmpty) appName else s"graft-training-scale-$cores")
+      .config("spark.sql.shuffle.partitions",
+        (if (shuffleParts > 0) shuffleParts else cores).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.files.openCostInBytes", "262144")
