@@ -19,11 +19,9 @@ final class Rng(seed: Long) extends Serializable {
   def this() = this(0x9e3779b97f4a7c15L)
 
   @inline def nextLong(): Long = {
+    val out = Rng.mix64(state)
     state += 0x9e3779b97f4a7c15L
-    var z = state
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
+    out
   }
 
   /** Uniform float in [0, 1) with 24 bits of mantissa (same range/precision
@@ -59,6 +57,19 @@ final class Rng(seed: Long) extends Serializable {
 }
 
 object Rng {
+  /** The stateless SplitMix64 step: golden-ratio increment + finalizer.
+    * THE one definition of the mix — `Rng.nextLong`, MinHash signatures
+    * (Dedup) and hyperplane components (Similarity) all call this, so the
+    * constants can never drift between sites (their outputs are
+    * cross-reproducible by contract).
+    */
+  @inline def mix64(x: Long): Long = {
+    var z = x + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
   /** Derive a per-group RNG seed from config seed + group identity so that
     * different groups/partitions draw independent streams but replays are exact.
     */

@@ -25,16 +25,25 @@ object Dedup {
     * cryptographic). Where that matters, verify text equality within hash
     * groups downstream, or group on the text itself and pay the shuffle.
     */
+  // NULL-text rows are NOT duplicates of each other: xxhash64 skips null
+  // inputs (returning the bare seed), which would merge every text-less
+  // document into ONE "duplicate" group — a dedup pipeline would then drop
+  // all but one of them. Unknown content is each its own group: the second
+  // group-key column is 0 for real texts (grouping exactly as before) and
+  // doc_id for null texts (forcing singleton groups; 8 bytes, same shuffle).
+  private def nullSingletonKey: Column =
+    when(col("text").isNull, col("doc_id")).otherwise(lit(0L))
+
   def exactSurvivors(df: DataFrame, id: Column, text: Column): DataFrame =
     df.select(id.cast("long").as("doc_id"), text.as("text"))
-      .groupBy(xxhash64(col("text")).as("text_hash"))
+      .groupBy(xxhash64(col("text")).as("text_hash"), nullSingletonKey.as("_nk"))
       .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("n_copies"))
       .select(col("survivor_id"), col("n_copies"))
 
   /** Exact duplicate groups (only texts occurring more than once). */
   def exactDupGroups(df: DataFrame, id: Column, text: Column): DataFrame =
     df.select(id.cast("long").as("doc_id"), text.as("text"))
-      .groupBy(xxhash64(col("text")).as("text_hash"))
+      .groupBy(xxhash64(col("text")).as("text_hash"), nullSingletonKey.as("_nk"))
       .agg(min(col("doc_id")).as("survivor_id"),
         sort_array(collect_list(col("doc_id"))).as("doc_ids"),
         count(lit(1)).as("n_copies"))
@@ -88,11 +97,8 @@ object Dedup {
         var filled = 0
         var i      = 0
         while (i < shingles.length) {
-          // ONE mix per shingle (SplitMix64), then route by residue
-          var z = shingles(i) + 0x9e3779b97f4a7c15L
-          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-          z ^= z >>> 31
+          // ONE mix per shingle (SplitMix64 — the shared core finalizer)
+          val z = graft.core.Rng.mix64(shingles(i))
           val slot = ((z % numHashes).toInt + numHashes) % numHashes
           if (z < sig(slot)) { // a stored value is always < MaxValue, so the
             if (sig(slot) == Long.MaxValue) filled += 1 // sentinel is unambiguous
@@ -195,6 +201,16 @@ object Dedup {
 
   /** Exact n-gram (character shingle) Jaccard for given candidate pairs —
     * the verifier for the LSH estimates.
+    *
+    * NULL convention: a pair where BOTH texts are shorter than
+    * `shingleSize` (or null) has two empty shingle sets; 0/0 propagates as
+    * a NULL `jaccard` — "undefined at this shingle granularity", matching
+    * the SQL division the oracle computes — and a thresholded filter drops
+    * the pair. Such docs produce no shingles, hence no MinHash bands, hence
+    * never reach this verifier through [[minhashLshPairs]]; direct callers
+    * feeding arbitrary pairs must decide sub-shingle-length semantics
+    * themselves (`coalesce(jaccard, …)`), because "identical empty sets"
+    * does NOT imply identical texts.
     */
   def exactJaccard(
       pairs: DataFrame, // (a, b)

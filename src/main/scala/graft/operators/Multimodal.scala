@@ -64,10 +64,20 @@ object Multimodal {
     * recomputable in plain SQL (BIGINT ops, no wrap-around) and the driver
     * oracle can differentially verify feature extraction end-to-end.
     */
+  /** Byte-sum mod 2^31-1 — the ONE checksum definition shared by
+    * [[fakeDecode]]'s seed and [[mediaStats]]'s `byte_checksum` column; the
+    * oracle's ability to recompute decode seeds from mediaStats output
+    * depends on these never drifting apart.
+    */
+  private def byteChecksum(payload: Array[Byte]): Long = {
+    var acc = 0L
+    var i   = 0
+    while (i < payload.length) { acc = (acc + (payload(i) & 0xff)) % 2147483647L; i += 1 }
+    acc
+  }
+
   private[operators] def fakeDecode(payload: Array[Byte], n: Int): Array[Float] = {
-    var base = 0L
-    var j    = 0
-    while (j < payload.length) { base = (base + (payload(j) & 0xff)) % 2147483647L; j += 1 }
+    val base = byteChecksum(payload)
     val out = new Array[Float](n)
     var i   = 0
     while (i < n) {
@@ -84,8 +94,10 @@ object Multimodal {
   /** Feature extraction: payload -> fixed-size float vector (deterministic;
     * decode step stubbed). Runs partition-parallel, one batch per task.
     */
-  def extractFeatures(dim: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+  def extractFeatures(dim: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    require(dim > 0, s"feature dimension must be positive, got $dim")
     udf((payload: Array[Byte]) => if (payload == null) null else fakeDecode(payload, dim))
+  }
 
   /** "Resize": decode (stub) a fixed 4× oversampled stream, then downsample
     * to (w × h) values by strided mean pooling — the batch shape and column
@@ -94,6 +106,10 @@ object Multimodal {
   def resize(w: Int, h: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
     require(w > 0 && h > 0, s"resize dimensions must be positive, got ${w}x$h")
     val stride = 4
+    // w*h*stride is Int arithmetic downstream (array sizes, loop indices):
+    // fail at construction, not with a per-row NegativeArraySizeException
+    require(w.toLong * h * stride <= Int.MaxValue,
+      s"resize ${w}x$h x$stride oversample exceeds Int range (${w.toLong * h * stride})")
     udf { (payload: Array[Byte]) =>
       if (payload == null) null
       else {
@@ -138,13 +154,7 @@ object Multimodal {
     */
   def mediaStats(df: DataFrame): DataFrame = {
     val checksum = udf { (payload: Array[Byte]) =>
-      if (payload == null) 0L
-      else {
-        var acc = 0L
-        var i   = 0
-        while (i < payload.length) { acc = (acc + (payload(i) & 0xff)) % 2147483647L; i += 1 }
-        acc
-      }
+      if (payload == null) 0L else byteChecksum(payload)
     }
     df.select(
       col("doc_id"),

@@ -74,6 +74,10 @@ object SessionTopK {
   def aggregateGap(df: DataFrame, key: Column, ts: Column, gapSeconds: Long,
                    item: Column, weight: Column, cfg: SketchConfig,
                    oversample: Int = 4): DataFrame = {
+    // a non-positive gap silently yields degenerate sessions (one row each,
+    // session_end < session_start) — refuse, as SlidingTopK.perTick does
+    // for windowTicks < 1
+    require(gapSeconds >= 1, s"gapSeconds must be >= 1, got $gapSeconds")
     val byKey = Window.partitionBy(col("key")).orderBy(col("ts"))
     val base = df.select(key.as("key"), ts.as("ts"),
       item.cast("string").as("item"), weight.cast("long").as("weight"))

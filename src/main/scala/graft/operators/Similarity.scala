@@ -100,10 +100,7 @@ object Similarity {
     * [-1, 1). Pure function of the indices — see hyperplaneSignature.
     */
   @inline private def planeComponent(b: Int, i: Int): Double = {
-    var z = (b.toLong << 32 | i.toLong) + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^= z >>> 31
+    val z = graft.core.Rng.mix64(b.toLong << 32 | i.toLong)
     (z >>> 11).toDouble / (1L << 52).toDouble - 1.0
   }
 
@@ -238,9 +235,12 @@ object Similarity {
     // sort (measured 23.5 s at 1M×256 vs 5.9 s map-side, BENCH.md).
     // Cells iterate in ascending id order with strict > replacement, so
     // exact-tie behavior matches the old (cell_sim DESC, cell ASC) window.
+    // secondary sort key: an xxhash64 collision at the limit() boundary
+    // would otherwise resolve by task order, making the "deterministic"
+    // quantizer pick different centroid sets across runs/retries
     val centArr: Array[(Long, Array[Float], Double)] = c
       .withColumn("_h", xxhash64(col("neighbor_id")))
-      .orderBy(col("_h"))
+      .orderBy(col("_h"), col("neighbor_id"))
       .limit(nCells)
       .select(col("neighbor_id"), col("cvec"), col("cn"))
       .collect()

@@ -67,9 +67,20 @@ object TopK {
       else if (mergeFanIn < 0) -mergeFanIn
       else if (mergeFanIn <= 1) 1
       else {
-        val estBytes  = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        val stats     = df.queryExecution.optimizedPlan.stats
+        val estBytes  = stats.sizeInBytes
         val splitSize = BigInt(df.sparkSession.sessionState.conf.filesMaxPartitionBytes)
-        if (estBytes > splitSize * mergeFanIn * 2) mergeFanIn else 1
+        // non-file plans (LogicalRDD, createDataFrame) report the unknown
+        // sentinel for sizeInBytes, which would always read "huge": prefer
+        // a real rowCount there (tiny inputs take the flat plan, as the
+        // scaladoc promises); truly unknown stays tree — the scale-safe
+        // default, at worst two extra small shuffles on a small input
+        if (graft.operators.Similarity.statsKnown(estBytes))
+          if (estBytes > splitSize * mergeFanIn * 2) mergeFanIn else 1
+        else stats.rowCount match {
+          case Some(n) if n < BigInt(mergeFanIn) * 65536 => 1
+          case _                                         => mergeFanIn
+        }
       }
     val emitted =
       if (effFanIn <= 1) {
