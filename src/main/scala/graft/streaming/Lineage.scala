@@ -105,8 +105,21 @@ object Lineage {
         (acc._1 + so.numRowsTotal, acc._2 + so.memoryUsedBytes)
       }
       buf.synchronized {
-        buf += BatchMetrics(p.id, p.batchId, p.numInputRows, p.processedRowsPerSecond, rows, bytes)
-        while (buf.size > maxRetained) buf.removeHead()
+        val bm = BatchMetrics(p.id, p.batchId, p.numInputRows, p.processedRowsPerSecond, rows, bytes)
+        // a batch replayed after checkpoint restart (failure between sink
+        // write and commit) re-emits the same (queryId, batchId): last
+        // write wins, so consumers summing the series don't double-count.
+        // Replays re-arrive promptly after the restart, so only a bounded
+        // recent window is scanned — O(64) per batch, not O(retained).
+        var i = buf.size - 1
+        val floor = math.max(0, buf.size - 64)
+        while (i >= floor && !(buf(i).queryId == bm.queryId && buf(i).batchId == bm.batchId))
+          i -= 1
+        if (i >= floor) buf(i) = bm
+        else {
+          buf += bm
+          while (buf.size > maxRetained) buf.removeHead()
+        }
       }
     }
 

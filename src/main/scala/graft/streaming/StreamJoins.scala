@@ -37,6 +37,10 @@ object StreamJoins {
       withinSeconds: Long,
       watermarkDelay: String
   ): DataFrame = {
+    // with <= 0 the predicate (ts_b > ts_a AND ts_b <= ts_a + within) is
+    // unsatisfiable: the query would run healthy-looking and emit nothing
+    // forever — refuse, as TopKStreams.sliding does for its numeric params
+    require(withinSeconds > 0, s"withinSeconds must be positive, got $withinSeconds")
     val l = left.select(col("key"), col("ts").as("ts_a"), col("payload").as("payload_a"))
       .withWatermark("ts_a", watermarkDelay)
     val r = right.select(col("key").as("key_b"), col("ts").as("ts_b"),

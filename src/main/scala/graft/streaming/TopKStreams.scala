@@ -164,23 +164,42 @@ object TopKStreams {
     //    nondeterminism watermark semantics already have (admission always
     //    depends on micro-batch boundaries); checkpointed replays are still
     //    exact, since the offset log pins batch contents.
+    // The reduce map is BOUNDED: at `reduceCap` distinct groups it flushes
+    // its contents downstream and starts fresh. High-cardinality item
+    // streams (unique tokens/UUIDs) are exactly the regime where the reduce
+    // does not compact — without the cap, a whole-backlog AvailableNow
+    // micro-batch would materialize one map entry per distinct row on heap
+    // per task (the pre-reduce shuffle path spilled instead). Duplicate
+    // group rows across flushes stay correct: the state machine sums
+    // pending updates per (tick, item), and each flush row carries its
+    // groups' max ts, so per-batch event-time stats (and the watermark) see
+    // the same maximum. ~100 B/entry => the default 262144 is ~25 MB/task.
+    val reduceCap = spark.conf.getOption("spark.graft.stream.reduceMaxEntries")
+      .map(_.toInt).getOrElse(262144)
+    require(reduceCap > 0, s"spark.graft.stream.reduceMaxEntries must be positive, got $reduceCap")
     val reduced = typed.mapPartitions { rows =>
-      val agg = new java.util.HashMap[(String, Long, String), Array[Long]]()
-      var in  = 0L
-      rows.foreach { case (k, ts, item, w) =>
-        val tsm  = ts.getTime
-        val cell = agg.computeIfAbsent((k, Math.floorDiv(tsm, tickMillis), item),
-          _ => Array(Long.MinValue, 0L))
-        if (tsm > cell(0)) cell(0) = tsm
-        if (w > 0) cell(1) += w
-        in += 1
-      }
-      reduceMetrics.foreach { case (ai, ao) => ai.add(in); ao.add(agg.size.toLong) }
       import scala.jdk.CollectionConverters._
-      agg.entrySet().iterator().asScala.map { e =>
-        (e.getKey._1, new java.sql.Timestamp(e.getValue()(0)), e.getKey._3,
-          e.getValue()(1))
-      }
+      new Iterator[Iterator[(String, java.sql.Timestamp, String, Long)]] {
+        def hasNext: Boolean = rows.hasNext
+        def next(): Iterator[(String, java.sql.Timestamp, String, Long)] = {
+          val agg = new java.util.HashMap[(String, Long, String), Array[Long]]()
+          var in  = 0L
+          while (rows.hasNext && agg.size < reduceCap) {
+            val (k, ts, item, w) = rows.next()
+            val tsm  = ts.getTime
+            val cell = agg.computeIfAbsent((k, Math.floorDiv(tsm, tickMillis), item),
+              _ => Array(Long.MinValue, 0L))
+            if (tsm > cell(0)) cell(0) = tsm
+            if (w > 0) cell(1) += w
+            in += 1
+          }
+          reduceMetrics.foreach { case (ai, ao) => ai.add(in); ao.add(agg.size.toLong) }
+          agg.entrySet().iterator().asScala.map { e =>
+            (e.getKey._1, new java.sql.Timestamp(e.getValue()(0)), e.getKey._3,
+              e.getValue()(1))
+          }
+        }
+      }.flatten
     }
 
     // the watermarked ts column must flow into the stateful operator itself
@@ -215,15 +234,20 @@ object TopKStreams {
     // — the reference's canonical protocol (one Add(item, total) per tick,
     // sliding/sketch_test.go:176-296). Keeps the buffered state and its
     // per-batch re-encode O(distinct items x buffered ticks), not O(stream).
-    if (rows.nonEmpty) {
+    // defensive re-check of the upstream row filter (null ts/item, w <= 0):
+    // a bad row must degrade to a no-op, never NPE-kill the query or poison
+    // the checkpointed state. Collected first so a heartbeat-only batch
+    // (weight-0 watermark advancers — every trigger, for idle keys with a
+    // large held-back pending set) skips the O(pending) rebuild entirely.
+    val incoming = rows.collect {
+      case (_, ts, item, weight) if ts != null && item != null && weight > 0 =>
+        (Math.floorDiv(ts.getTime, tickMillis), item, weight)
+    }.toArray
+    if (incoming.nonEmpty) {
       val agg = new java.util.HashMap[(Long, String), java.lang.Long]()
       st.pending.foreach { case (t, i, w) => agg.merge((t, i), w, (a, b) => a + b) }
-      // defensive re-check of the upstream row filter (null ts/item, w <= 0):
-      // a bad row must degrade to a no-op, never NPE-kill the query or
-      // poison the checkpointed state
-      rows.foreach { case (_, ts, item, weight) =>
-        if (ts != null && item != null && weight > 0)
-          agg.merge((Math.floorDiv(ts.getTime, tickMillis), item), weight, (a, b) => a + b)
+      incoming.foreach { case (t, item, weight) =>
+        agg.merge((t, item), weight, (a, b) => a + b)
       }
       st.pending.clear()
       agg.forEach((k, v) => st.pending += ((k._1, k._2, v)))
@@ -294,7 +318,17 @@ object TopKStreams {
       val nextInteresting =
         if (st.sketch.heap.size > 0 || st.pending.isEmpty) (st.clockTick + 1) * tickMillis
         else (st.pending.iterator.map(_._1).min + 1) * tickMillis
-      state.setTimeoutTimestamp(math.max(nextInteresting, wmMillis + 1))
+      // minus 1: tick completion counts EQUALITY (wm >= (t+1)*tick, above)
+      // but Spark fires event-time timeouts strictly (timeout < wm) — at
+      // nextInteresting exactly, a watermark that plateaus ON a tick
+      // boundary (tick-aligned final event, 0s delay, AvailableNow) would
+      // otherwise never fire the timeout and the final completed tick
+      // would never emit. The wm+1 clamp (Spark rejects timeouts at/below
+      // the current watermark) can't mask it: the drain loop above already
+      // advanced clockTick past every tick completable at this watermark,
+      // so nextInteresting - 1 >= wm + tickMillis - 1 >= wm + 1 whenever
+      // tickMillis > 1.
+      state.setTimeoutTimestamp(math.max(nextInteresting - 1, wmMillis + 1))
     }
     out.result().iterator
   }

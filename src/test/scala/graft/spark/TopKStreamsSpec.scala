@@ -79,6 +79,77 @@ class TopKStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sliding: a watermark plateauing EXACTLY on a tick boundary still emits the final tick") {
+    // Tick completion counts equality (wm >= (t+1)*tick) but Spark fires
+    // event-time timeouts strictly (timeout < wm): with the timeout set AT
+    // the boundary, a final watermark of exactly (t+1)*tick never fired it
+    // and the last completed tick was lost. The watermark here advances via
+    // a DIFFERENT key, so key "g" can only emit through the timeout path —
+    // the data path would mask the regression.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, String, Long)]
+    val df    = input.toDF.toDF("key", "ts", "item", "weight")
+    val cfg   = SlidingConfig.withDefaults(2, 2, width = 256, depth = 3)
+    val q = TopKStreams.sliding(df, 1000L, "0 seconds", cfg, emitK = 2)
+      .writeStream.format("memory").queryName("slide_edge").outputMode("append").start()
+    try {
+      // first event at ts=1, not 0: rows at exactly the INITIAL watermark
+      // (epoch 0) are dropped as late by Spark before the state op — an
+      // epoch-boundary curiosity no real stream hits; the boundary under
+      // test here is the tick-aligned FINAL watermark below
+      input.addData(("g", ts(1L), "a", 3L))
+      q.processAllAvailable()
+      input.addData(("g", ts(1000L), "b", 2L))
+      q.processAllAvailable()
+      // tick-aligned watermark advance on another key; weight 0 rows are
+      // filtered before the state op but still move the watermark to 2000
+      input.addData(("h", ts(2000L), "wm", 0L))
+      q.processAllAvailable()
+      val rows = spark.table("slide_edge")
+        .where(col("key") === "g")
+        .select("tick", "rank", "item", "count")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2.toLong))
+      // tick 1 completes at wm == 2000 exactly; window=2 keeps a in scope
+      assert(rows.toSeq == Seq(
+        (0L, 1, "a", 3L),
+        (1L, 1, "a", 3L), (1L, 2, "b", 2L)))
+    } finally q.stop()
+  }
+
+  test("map-side reduce cap: flushed partial groups merge to the same answer") {
+    // reduceMaxEntries=2 forces the bounded reduce map to flush mid-batch
+    // (7 distinct (key, tick, item) groups below); the state machine must
+    // sum the partial flush rows back to the uncapped result
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.graft.stream.reduceMaxEntries", "2")
+    try {
+      val input = MemoryStream[(String, Timestamp, String, Long)]
+      val df    = input.toDF.toDF("key", "ts", "item", "weight")
+      val cfg   = SlidingConfig.withDefaults(3, 2, width = 256, depth = 3)
+      val q = TopKStreams.sliding(df, 1000L, "0 seconds", cfg, emitK = 3)
+        .writeStream.format("memory").queryName("slide_cap").outputMode("append").start()
+      try {
+        input.addData(
+          ("g", ts(1L), "a", 1L), ("g", ts(2L), "a", 1L), ("g", ts(3L), "b", 5L),
+          ("g", ts(4L), "c", 2L), ("h", ts(5L), "a", 7L), ("h", ts(6L), "b", 1L),
+          ("g", ts(1001L), "a", 4L), ("h", ts(1002L), "c", 3L))
+        q.processAllAvailable()
+        input.addData(("z", ts(3000L), "wm", 0L)) // complete ticks 0 and 1
+        q.processAllAvailable()
+        val rows = spark.table("slide_cap")
+          .where(col("key").isin("g", "h") && col("tick") === 0)
+          .select("key", "rank", "item", "count")
+          .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3)))
+          .sortBy(t => (t._1, t._2.toLong))
+        // tick 0 exact counts: g: b=5, c=2, a=2 ; h: a=7, b=1
+        assert(rows.toSeq == Seq(
+          ("g", 1, "b", 5L), ("g", 2, "a", 2L), ("g", 3, "c", 2L),
+          ("h", 1, "a", 7L), ("h", 2, "b", 1L)))
+      } finally q.stop()
+    } finally spark.conf.unset("spark.graft.stream.reduceMaxEntries")
+  }
+
   test("sliding streaming: independent keys, out-of-order arrivals within watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Timestamp, String, Long)]
