@@ -325,6 +325,16 @@ final class Sketch(val cfg: SketchConfig) extends Serializable {
     */
   def merge(other: Sketch): Sketch = {
     require(other.width == width && other.depth == depth, "sketch geometry mismatch")
+    // k/decay/seed are part of merge compatibility too: a k mismatch makes
+    // the union's candidate-heap CAPACITY depend on which side the merge
+    // direction kept (blob arrival order is nondeterministic after a
+    // shuffle — same query, different top-set sizes per run); decay/seed
+    // steer the collision paths. Partials of one query always share cfg,
+    // so this rejects only genuinely mixed pipelines.
+    require(other.cfg.k == cfg.k && other.cfg.decay == cfg.decay &&
+      other.cfg.seed == cfg.seed,
+      s"sketch config mismatch: k=${cfg.k}/${other.cfg.k} " +
+        s"decay=${cfg.decay}/${other.cfg.decay} seed=${cfg.seed}/${other.cfg.seed}")
     var i = 0
     while (i < cells) {
       val ca = counts(i); val cb = other.counts(i)

@@ -26,16 +26,25 @@ object SketchCodec {
     * 64 KB modified UTF-8) — shared with the streaming state codec so the
     * framing cannot drift between the two.
     */
-  private[graft] def writeItem(out: DataOutputStream, item: String): Unit = {
-    val b = item.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    out.writeInt(b.length)
-    out.write(b)
+  private[graft] def writeItem(out: DataOutputStream, item: String): Unit =
+    writeBlock(out, item.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private[graft] def readItem(in: DataInputStream): String =
+    new String(readBlock(in), java.nio.charset.StandardCharsets.UTF_8)
+
+  /** Length-prefixed raw byte block — THE framing primitive (items above,
+    * nested sketch blobs in the aggregate buffers). All length-prefixed
+    * writes go through here so the framing cannot drift between codecs.
+    */
+  private[graft] def writeBlock(out: DataOutputStream, bytes: Array[Byte]): Unit = {
+    out.writeInt(bytes.length)
+    out.write(bytes)
   }
 
-  private[graft] def readItem(in: DataInputStream): String = {
+  private[graft] def readBlock(in: DataInputStream): Array[Byte] = {
     val b = new Array[Byte](in.readInt())
     in.readFully(b)
-    new String(b, java.nio.charset.StandardCharsets.UTF_8)
+    b
   }
 
   // ---------- plain ----------

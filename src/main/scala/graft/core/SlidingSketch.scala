@@ -353,6 +353,13 @@ final class SlidingSketch(val cfg: SlidingConfig) extends Serializable {
     // rates — fail fast like any other geometry mismatch
     require(other.cfg.windowSize == cfg.windowSize,
       s"sliding window size mismatch: ${cfg.windowSize} vs ${other.cfg.windowSize}")
+    // same rationale as Sketch.merge: k fixes the union heap's capacity,
+    // decay/seed steer collision paths — a mismatch makes results depend
+    // on nondeterministic merge direction instead of failing fast
+    require(other.cfg.k == cfg.k && other.cfg.decay == cfg.decay &&
+      other.cfg.seed == cfg.seed,
+      s"sliding sketch config mismatch: k=${cfg.k}/${other.cfg.k} " +
+        s"decay=${cfg.decay}/${other.cfg.decay} seed=${cfg.seed}/${other.cfg.seed}")
     var b = 0
     while (b < m) {
       val ca = countsSum(b); val cb = other.countsSum(b)

@@ -114,18 +114,14 @@ object AdaptiveTopK {
     val out = new DataOutputStream(bos)
     if (b.sketch != null) {
       out.writeByte(1)
-      val sk = SketchCodec.encode(b.sketch)
-      out.writeInt(sk.length)
-      out.write(sk)
+      SketchCodec.writeBlock(out, SketchCodec.encode(b.sketch))
     } else {
       out.writeByte(0)
       out.writeInt(b.map.size)
       val it = b.map.entrySet().iterator()
       while (it.hasNext) {
-        val e     = it.next()
-        val bytes = e.getKey.getBytes
-        out.writeInt(bytes.length)
-        out.write(bytes)
+        val e = it.next()
+        SketchCodec.writeBlock(out, e.getKey.getBytes)
         out.writeLong(e.getValue()(0))
       }
     }
@@ -138,19 +134,13 @@ object AdaptiveTopK {
     val b  = new AdaptiveTopK(cfg, cutoff)
     in.readByte() match {
       case 1 =>
-        val len = in.readInt()
-        val sk  = new Array[Byte](len)
-        in.readFully(sk)
-        b.sketch = SketchCodec.decode(sk)
+        b.sketch = SketchCodec.decode(SketchCodec.readBlock(in))
         b.map = null
       case 0 =>
         val n = in.readInt()
         var i = 0
         while (i < n) {
-          val len = in.readInt()
-          val ib  = new Array[Byte](len)
-          in.readFully(ib)
-          b.map.put(UTF8String.fromBytes(ib), Array(in.readLong()))
+          b.map.put(UTF8String.fromBytes(SketchCodec.readBlock(in)), Array(in.readLong()))
           i += 1
         }
     }

@@ -152,7 +152,12 @@ case class SketchCountExpr(left: Expression, right: Expression)
 
   // the reference's Count of an unknown item is 0 (sketch.go:90-111): null
   // blob / null item count as 0, not SQL NULL (matches the pre-existing UDF
-  // surface, so sums over sparse lookups keep counting zeros)
+  // surface, so sums over sparse lookups keep counting zeros).
+  // Known per-row cost: one String materialization (and a re-encode inside
+  // Sketch.count) — kept deliberately: the tracked-item fast path is the
+  // heap's String-keyed index (exact reference semantics), so a byte-keyed
+  // probe would still materialize for every tracked hit; the blob-decode
+  // memo already removed the dominant (decode) cost on this path.
   override def eval(input: InternalRow): Any = {
     val blob = left.eval(input)
     val item = right.eval(input)

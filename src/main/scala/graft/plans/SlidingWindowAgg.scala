@@ -90,7 +90,11 @@ case class SlidingTopKAgg(
     buffer.ticks.forEach { (tick, _) =>
       // merge the trailing window into a fresh sketch (union monoid)
       val acc = new Sketch(cfg)
-      val win = buffer.ticks.subMap(tick - (windowTicks - 1), true, tick, true)
+      // clamped subtraction: a sentinel-ish tick near Long.MinValue would
+      // wrap the lower bound positive and subMap throws fromKey > toKey
+      val lo  = if (tick < Long.MinValue + (windowTicks - 1)) Long.MinValue
+                else tick - (windowTicks - 1)
+      val win = buffer.ticks.subMap(lo, true, tick, true)
       win.forEach((_, sk) => acc.merge(sk))
       val top = acc.sortedSlice
       var i   = 0
@@ -112,9 +116,7 @@ case class SlidingTopKAgg(
     out.writeInt(buffer.ticks.size)
     buffer.ticks.forEach { (tick, sk) =>
       out.writeLong(tick)
-      val bytes = SketchCodec.encode(sk)
-      out.writeInt(bytes.length)
-      out.write(bytes)
+      SketchCodec.writeBlock(out, SketchCodec.encode(sk))
     }
     out.flush()
     bos.toByteArray
@@ -127,10 +129,7 @@ case class SlidingTopKAgg(
     var i    = 0
     while (i < n) {
       val tick = in.readLong()
-      val len  = in.readInt()
-      val sk   = new Array[Byte](len)
-      in.readFully(sk)
-      ring.ticks.put(tick, SketchCodec.decode(sk))
+      ring.ticks.put(tick, SketchCodec.decode(SketchCodec.readBlock(in)))
       i += 1
     }
     ring

@@ -102,7 +102,9 @@ object TopKResult {
 
   def toArrayData(buffer: Sketch, emitK: Int): ArrayData = {
     val top = buffer.sortedSlice
-    val n   = math.min(emitK, top.length)
+    // clamp at 0: k reaches here unvalidated from SQL (topk_rows(blob, -1))
+    // and a negative array size would kill the task mid-query
+    val n   = math.max(0, math.min(emitK, top.length))
     val out = new Array[Any](n)
     var i   = 0
     while (i < n) {
@@ -115,22 +117,20 @@ object TopKResult {
   }
 }
 
-/** Top-K over an `array<int>` token column — one aggregate call per sequence
-  * row, the core HK loop runs over the array in place (the north-star shape:
-  * no explode, no per-token row machinery). Weight 1 per token occurrence.
+/** Shared machinery for the ARRAY<INT>-input (token) sketch aggregates: the
+  * rows-emitting and blob-emitting variants differ ONLY in eval/dataType, so
+  * type checking, the bound-ordinal reader, update, merge and the codec live
+  * here once — a fix to the update path cannot drift between the pair.
   */
-case class TokensTopKAgg(
-    child: Expression,
-    cfg: SketchConfig,
-    emitK: Int,
-    mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0
-) extends TypedImperativeAggregate[Sketch] with UnaryLike[Expression] {
+sealed abstract class TokensSketchAggBase
+    extends TypedImperativeAggregate[Sketch] with UnaryLike[Expression] {
+  def cfg: SketchConfig
+  protected def fnName: String
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"topk_tokens requires ARRAY<INT> tokens, got ${other.catalogString}")
+      s"$fnName requires ARRAY<INT> tokens, got ${other.catalogString}")
   }
 
   override def createAggregationBuffer(): Sketch = new Sketch(cfg)
@@ -149,14 +149,25 @@ case class TokensTopKAgg(
   }
 
   override def merge(buffer: Sketch, other: Sketch): Sketch = buffer.merge(other)
+  override def serialize(buffer: Sketch): Array[Byte]       = SketchCodec.encode(buffer)
+  override def deserialize(bytes: Array[Byte]): Sketch      = SketchCodec.decode(bytes)
+  override def nullable: Boolean                            = false
+}
 
-  override def eval(buffer: Sketch): Any = TopKResult.toArrayData(buffer, emitK)
-
-  override def serialize(buffer: Sketch): Array[Byte] = SketchCodec.encode(buffer)
-  override def deserialize(bytes: Array[Byte]): Sketch = SketchCodec.decode(bytes)
-
-  override def dataType: DataType = TopKResult.dataType
-  override def nullable: Boolean  = false
+/** Top-K over an `array<int>` token column — one aggregate call per sequence
+  * row, the core HK loop runs over the array in place (the north-star shape:
+  * no explode, no per-token row machinery). Weight 1 per token occurrence.
+  */
+case class TokensTopKAgg(
+    child: Expression,
+    cfg: SketchConfig,
+    emitK: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends TokensSketchAggBase {
+  override protected def fnName: String   = "topk_tokens"
+  override def eval(buffer: Sketch): Any  = TopKResult.toArrayData(buffer, emitK)
+  override def dataType: DataType         = TopKResult.dataType
 
   override def withNewMutableAggBufferOffset(newOffset: Int): TokensTopKAgg =
     copy(mutableAggBufferOffset = newOffset)
@@ -178,35 +189,10 @@ case class TokensSketchBytesAgg(
     cfg: SketchConfig,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0
-) extends TypedImperativeAggregate[Sketch] with UnaryLike[Expression] {
-
-  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"topk_tokens_sketch requires ARRAY<INT> tokens, got ${other.catalogString}")
-  }
-
-  override def createAggregationBuffer(): Sketch = new Sketch(cfg)
-
-  @transient private lazy val tokOrd: Int = child match {
-    case b: BoundReference => b.ordinal
-    case _                 => -1
-  }
-
-  override def update(buffer: Sketch, input: InternalRow): Sketch = {
-    val v =
-      if (tokOrd >= 0) { if (input.isNullAt(tokOrd)) null else input.getArray(tokOrd) }
-      else child.eval(input)
-    TopKResult.updateFromTokens(buffer, v)
-    buffer
-  }
-
-  override def merge(buffer: Sketch, other: Sketch): Sketch = buffer.merge(other)
-  override def eval(buffer: Sketch): Any                    = SketchCodec.encode(buffer)
-  override def serialize(buffer: Sketch): Array[Byte]       = SketchCodec.encode(buffer)
-  override def deserialize(bytes: Array[Byte]): Sketch      = SketchCodec.decode(bytes)
-  override def dataType: DataType                           = BinaryType
-  override def nullable: Boolean                            = false
+) extends TokensSketchAggBase {
+  override protected def fnName: String   = "topk_tokens_sketch"
+  override def eval(buffer: Sketch): Any  = SketchCodec.encode(buffer)
+  override def dataType: DataType         = BinaryType
 
   override def withNewMutableAggBufferOffset(newOffset: Int): TokensSketchBytesAgg =
     copy(mutableAggBufferOffset = newOffset)
@@ -216,21 +202,18 @@ case class TokensSketchBytesAgg(
     copy(child = newChild)
 }
 
-/** Top-K over generic (item string, weight long) updates — InternalRow-native
-  * replacement for the udaf path. Hashes the UTF8String's bytes; the heap's
-  * String key materializes only on admitted updates (memoized per buffer).
+/** Shared machinery for the (item string, weight long) sketch aggregates —
+  * same single-definition rationale as [[TokensSketchAggBase]]. Hashes the
+  * UTF8String's bytes in place; the heap's String key materializes only on
+  * admitted updates (memoized per buffer).
   */
-case class ItemsTopKAgg(
-    left: Expression,
-    right: Expression,
-    cfg: SketchConfig,
-    emitK: Int,
-    mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0
-) extends TypedImperativeAggregate[Sketch] with BinaryLike[Expression] {
+sealed abstract class ItemsSketchAggBase
+    extends TypedImperativeAggregate[Sketch] with BinaryLike[Expression] {
+  def cfg: SketchConfig
+  protected def fnName: String
 
   override def checkInputDataTypes(): TypeCheckResult =
-    TopKResult.checkItemWeight(left, right, "topk_items")
+    TopKResult.checkItemWeight(left, right, fnName)
 
   override def createAggregationBuffer(): Sketch = new Sketch(cfg)
 
@@ -244,14 +227,25 @@ case class ItemsTopKAgg(
   }
 
   override def merge(buffer: Sketch, other: Sketch): Sketch = buffer.merge(other)
+  override def serialize(buffer: Sketch): Array[Byte]       = SketchCodec.encode(buffer)
+  override def deserialize(bytes: Array[Byte]): Sketch      = SketchCodec.decode(bytes)
+  override def nullable: Boolean                            = false
+}
 
-  override def eval(buffer: Sketch): Any = TopKResult.toArrayData(buffer, emitK)
-
-  override def serialize(buffer: Sketch): Array[Byte] = SketchCodec.encode(buffer)
-  override def deserialize(bytes: Array[Byte]): Sketch = SketchCodec.decode(bytes)
-
-  override def dataType: DataType = TopKResult.dataType
-  override def nullable: Boolean  = false
+/** Top-K over generic (item string, weight long) updates — InternalRow-native
+  * replacement for the udaf path.
+  */
+case class ItemsTopKAgg(
+    left: Expression,
+    right: Expression,
+    cfg: SketchConfig,
+    emitK: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends ItemsSketchAggBase {
+  override protected def fnName: String   = "topk_items"
+  override def eval(buffer: Sketch): Any  = TopKResult.toArrayData(buffer, emitK)
+  override def dataType: DataType         = TopKResult.dataType
 
   override def withNewMutableAggBufferOffset(newOffset: Int): ItemsTopKAgg =
     copy(mutableAggBufferOffset = newOffset)
@@ -271,28 +265,10 @@ case class SketchBytesAgg(
     cfg: SketchConfig,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0
-) extends TypedImperativeAggregate[Sketch] with BinaryLike[Expression] {
-
-  override def checkInputDataTypes(): TypeCheckResult =
-    TopKResult.checkItemWeight(left, right, "topk_sketch")
-
-  override def createAggregationBuffer(): Sketch = new Sketch(cfg)
-
-  @transient private lazy val reader = new TopKResult.ItemWeightReader(left, right)
-
-  override def update(buffer: Sketch, input: InternalRow): Sketch = {
-    val u = reader.item(input)
-    if (u != null)
-      buffer.addUnsafe(u.getBaseObject, u.getBaseOffset, u.numBytes, reader.weight(input))
-    buffer
-  }
-
-  override def merge(buffer: Sketch, other: Sketch): Sketch = buffer.merge(other)
-  override def eval(buffer: Sketch): Any                    = SketchCodec.encode(buffer)
-  override def serialize(buffer: Sketch): Array[Byte]       = SketchCodec.encode(buffer)
-  override def deserialize(bytes: Array[Byte]): Sketch      = SketchCodec.decode(bytes)
-  override def dataType: DataType                           = BinaryType
-  override def nullable: Boolean                            = false
+) extends ItemsSketchAggBase {
+  override protected def fnName: String   = "topk_sketch"
+  override def eval(buffer: Sketch): Any  = SketchCodec.encode(buffer)
+  override def dataType: DataType         = BinaryType
 
   override def withNewMutableAggBufferOffset(newOffset: Int): SketchBytesAgg =
     copy(mutableAggBufferOffset = newOffset)
