@@ -3,7 +3,6 @@ package graft.functions
 import graft.core.SketchConfig
 import graft.plans.{ItemsTopKAgg, TokensTopKAgg}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{LongType, StringType}
 
@@ -19,9 +18,12 @@ import org.apache.spark.sql.types.{LongType, StringType}
   *   SELECT topk_items_adaptive(item, weight, 2, 256, 3) FROM t GROUP BY k
   *   SELECT explode(topk_sliding(tick, item, w, 7, 3, 1024, 3)) FROM t
   *   SELECT xxh32(text, 4848280) FROM docs                             -- seeded hash
-  *   -- sketch algebra over blobs:
-  *   WITH sk AS (SELECT topk_sketch(item, w, 10) b FROM t)
-  *   SELECT topk_count(b, 'x'), topk_query(b, 'x'), topk_rows(topk_merge(b), 10) FROM sk
+  *   -- sketch algebra over blobs (topk_merge is an AGGREGATE — give it its
+  *   -- own SELECT; mixing it with direct references to b in one ungrouped
+  *   -- query is an analysis error):
+  *   WITH sk     AS (SELECT slice, topk_sketch(item, w, 10) b FROM t GROUP BY slice),
+  *        merged AS (SELECT topk_merge(b) m FROM sk)
+  *   SELECT topk_count(m, 'x'), topk_query(m, 'x'), topk_rows(m, 10) FROM merged
   *   -- session-window top-K composes from built-ins (no bespoke function):
   *   SELECT user, session_window(ts, '1 hour'), topk_items(item, w, 3)
   *   FROM events GROUP BY user, session_window(ts, '1 hour')

@@ -43,8 +43,8 @@ object SqlMacros {
     require(oversample > 0, s"oversample must be positive, got $oversample")
     require(width > 0 == depth > 0,
       s"width and depth must be set together, got width=$width depth=$depth")
-    require(decay <= 0 || width > 0,
-      "decay requires explicit width and depth (the builder's positional args)")
+    require(decay <= 0 || (decay > 0 && decay <= 1),
+      s"decay must be in (0,1], got $decay")
     // resolve geometry from the USER's k (engine defaults), so oversampling
     // the heap doesn't silently widen the sketch the way a bare
     // topk_tokens_sketch(col, k*4) call would

@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.core.{Sketch, SketchConfig, SlidingSketch, SlidingConfig}
+import graft.core.{Sketch, SketchConfig}
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
@@ -8,13 +8,26 @@ import org.apache.spark.sql.expressions.Aggregator
 /** One (item, weight) update — the exploded-token row shape fed to the
   * aggregators. Mirrors the reference's `Add(item, increment)` input
   * (reference: sketch.go:118-120).
+  *
+  * `weight` is boxed so a NULL weight column degrades to a no-op add (the
+  * same null→0 contract as the native SQL path's ItemWeightReader) — as a
+  * primitive Long, the input encoder's AssertNotNull would kill the whole
+  * query on the first NULL row before `reduce` could guard it.
   */
-final case class TokenUpdate(item: String, weight: Long)
+final case class TokenUpdate(item: String, weight: java.lang.Long)
 
 /** One emitted top-K row. `fingerprint` is the reference's uint32 fingerprint
   * widened to Long (reference: heap/heap.go:11-15).
   */
 final case class TopKRow(item: String, count: Long, fingerprint: Long)
+
+object TopKRow {
+  /** The one emit/trim definition (fingerprint widening + take(k)) shared by
+    * every rows-emitting aggregator finish. */
+  private[functions] def fromSketch(buf: Sketch, k: Int): Seq[TopKRow] =
+    buf.sortedSlice.iterator.take(k)
+      .map(e => TopKRow(e.item, e.count, e.fingerprint.toLong & 0xffffffffL)).toSeq
+}
 
 /** Typed Spark aggregator around the plain HeavyKeeper sketch.
   *
@@ -45,15 +58,14 @@ final class TopKAggregator(cfg: SketchConfig, oversample: Int = 4)
   override def zero: Sketch = new Sketch(bufCfg)
 
   override def reduce(buf: Sketch, in: TokenUpdate): Sketch = {
-    if (in != null && in.item != null) buf.add(in.item, in.weight)
+    if (in != null && in.item != null && in.weight != null)
+      buf.add(in.item, in.weight.longValue)
     buf
   }
 
   override def merge(a: Sketch, b: Sketch): Sketch = a.merge(b)
 
-  override def finish(buf: Sketch): Seq[TopKRow] =
-    buf.sortedSlice.iterator.take(cfg.k)
-      .map(e => TopKRow(e.item, e.count, e.fingerprint.toLong & 0xffffffffL)).toSeq
+  override def finish(buf: Sketch): Seq[TopKRow] = TopKRow.fromSketch(buf, cfg.k)
 
   override def bufferEncoder: Encoder[Sketch] = Encoders.javaSerialization[Sketch]
 
@@ -69,7 +81,8 @@ final class TopKSketchBytesAggregator(cfg: SketchConfig)
     extends Aggregator[TokenUpdate, Sketch, Array[Byte]] {
   override def zero: Sketch = new Sketch(cfg)
   override def reduce(buf: Sketch, in: TokenUpdate): Sketch = {
-    if (in != null && in.item != null) buf.add(in.item, in.weight)
+    if (in != null && in.item != null && in.weight != null)
+      buf.add(in.item, in.weight.longValue)
     buf
   }
   override def merge(a: Sketch, b: Sketch): Sketch = a.merge(b)
@@ -94,9 +107,7 @@ final class MergeSketchesAggregator(cfg: SketchConfig, k: Int)
 
   override def merge(a: Sketch, b: Sketch): Sketch = a.merge(b)
 
-  override def finish(buf: Sketch): Seq[TopKRow] =
-    buf.sortedSlice.iterator.take(k)
-      .map(e => TopKRow(e.item, e.count, e.fingerprint.toLong & 0xffffffffL)).toSeq
+  override def finish(buf: Sketch): Seq[TopKRow] = TopKRow.fromSketch(buf, k)
 
   override def bufferEncoder: Encoder[Sketch] = Encoders.javaSerialization[Sketch]
 

@@ -142,7 +142,19 @@ object ScaleCorpus {
     require(!dir.contains("://"),
       s"ScaleCorpus.ensure caches via java.io.File and is local-only; got $dir")
     val success = new java.io.File(dir, "_SUCCESS")
-    if (!success.exists()) build().write.mode("overwrite").parquet(dir)
+    if (!success.exists()) {
+      build().write.mode("overwrite").parquet(dir)
+      // the idempotence probe IS the committer's marker: if a session
+      // disables _SUCCESS (marksuccessfuljobs=false), every call would
+      // silently regenerate the corpus — and two CONCURRENT generators
+      // racing this check-then-write corrupt the cache (bench methodology
+      // already forbids concurrent runs; this makes the breach loud)
+      require(success.exists(),
+        s"ScaleCorpus.ensure: $dir was written but has no _SUCCESS marker " +
+          "(committer configured with marksuccessfuljobs=false, or a " +
+          "concurrent generator raced this write) — the cache cannot be " +
+          "trusted; delete the directory and rerun with the marker enabled")
+    }
     dir
   }
 }

@@ -50,7 +50,7 @@ class TopKAggregatorSpec extends AnyFunSuite {
     val cfg = SketchConfig.withDefaults(20, width = 1024, depth = 3)
     val ours = TopK.aggregate(df, col("item"), col("weight"), cfg)
       .select("item", "count").collect().map(r => (r.getString(0), r.getLong(1))).toMap
-    val truth = items.groupBy(_.item).view.mapValues(_.map(_.weight).sum).toMap
+    val truth = items.groupBy(_.item).view.mapValues(_.map(_.weight.longValue).sum).toMap
     val exactTop = truth.toSeq.sortBy { case (i, c) => (-c, i) }.take(20).map(_._1).toSet
     // under-estimation only
     ours.foreach { case (item, est) =>
