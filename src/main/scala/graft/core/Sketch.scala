@@ -18,6 +18,10 @@ final case class SketchConfig(
   // we fail fast with a message instead
   require(k > 0, s"k must be positive, got $k")
   require(width > 0 && depth > 0, s"invalid geometry ${width}x$depth")
+  // width/depth are user-reachable as SQL literals: a wrapped product would
+  // surface as a zero-length cell array + AIOOBE on the first add
+  require(width.toLong * depth <= Int.MaxValue,
+    s"geometry ${width}x$depth overflows the cell array (${width.toLong * depth} cells)")
   require(decay > 0f && decay <= 1f, s"decay must be in (0,1], got $decay")
   require(lutSize > 1, s"lutSize must be > 1, got $lutSize")
 }
@@ -171,6 +175,13 @@ final class Sketch(val cfg: SketchConfig) extends Serializable {
       counts(idx) = c
       c
     } else { // collision: probabilistic decay (sketch.go:141-165)
+      // LOCKSTEP: this trial loop (threshold check, geometricTrials
+      // bookkeeping, k > incrementRemaining early-out, takeover remainder
+      // incrementRemaining - (k-1)) is mirrored in SlidingSketch.add, which
+      // differs only in where the decrement/takeover lands (ring min-slot
+      // vs this scalar). The shared ARITHMETIC lives in SketchOps; the loop
+      // shape itself is duplicated for the two storage models — any fix
+      // here MUST be applied there too (and vice versa).
       var c                  = count
       var incrementRemaining = increment
       var taken              = 0L
@@ -332,9 +343,10 @@ final class Sketch(val cfg: SketchConfig) extends Serializable {
     // steer the collision paths. Partials of one query always share cfg,
     // so this rejects only genuinely mixed pipelines.
     require(other.cfg.k == cfg.k && other.cfg.decay == cfg.decay &&
-      other.cfg.seed == cfg.seed,
+      other.cfg.seed == cfg.seed && other.cfg.lutSize == cfg.lutSize,
       s"sketch config mismatch: k=${cfg.k}/${other.cfg.k} " +
-        s"decay=${cfg.decay}/${other.cfg.decay} seed=${cfg.seed}/${other.cfg.seed}")
+        s"decay=${cfg.decay}/${other.cfg.decay} seed=${cfg.seed}/${other.cfg.seed} " +
+        s"lutSize=${cfg.lutSize}/${other.cfg.lutSize}")
     var i = 0
     while (i < cells) {
       val ca = counts(i); val cb = other.counts(i)

@@ -42,7 +42,15 @@ object SketchCodec {
   }
 
   private[graft] def readBlock(in: DataInputStream): Array[Byte] = {
-    val b = new Array[Byte](in.readInt())
+    val len = in.readInt()
+    // validate against the stream's remaining bytes BEFORE allocating: a
+    // corrupted length prefix (state-store / shuffle blob damage) must fail
+    // as a catchable decode error, not a negative-size crash or a 2 GB
+    // allocation attempt that can OOM the executor. All decode paths wrap
+    // in-memory byte arrays, so available() is the exact remainder.
+    require(len >= 0 && len <= in.available(),
+      s"corrupt sketch payload: block length $len with ${in.available()} bytes remaining")
+    val b = new Array[Byte](len)
     in.readFully(b)
     b
   }
@@ -152,6 +160,10 @@ object SketchCodec {
 
   private def readHeap(in: DataInputStream, heap: MinHeap): Unit = {
     val n = in.readInt()
+    // every entry is >= 16 bytes (fp 4 + item length 4 + count 8): a count
+    // that cannot fit the remaining payload is corruption, not data
+    require(n >= 0 && n.toLong * 16 <= in.available(),
+      s"corrupt sketch payload: heap count $n with ${in.available()} bytes remaining")
     var i = 0
     while (i < n) {
       val fp    = in.readInt()

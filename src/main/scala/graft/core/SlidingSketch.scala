@@ -22,6 +22,14 @@ final case class SlidingConfig(
   require(windowSize > 0, s"windowSize must be positive, got $windowSize")
   require(bucketHistoryLength >= 1 && bucketHistoryLength <= windowSize,
     s"bucketHistoryLength $bucketHistoryLength outside [1, $windowSize]")
+  // the ring is ONE flat array of width*depth*hist slots: a wrapped product
+  // (default hist = windowSize makes this reachable with a multi-million-
+  // tick window) would crash with NegativeArraySizeException or, worse,
+  // allocate a silently wrong-sized ring
+  require(width.toLong * depth * bucketHistoryLength <= Int.MaxValue,
+    s"geometry ${width}x$depth x hist=$bucketHistoryLength overflows the " +
+      s"ring array (${width.toLong * depth * bucketHistoryLength} slots); " +
+      "cap BucketHistoryLength (ring slots per bucket) below windowSize")
   require(decay > 0f && decay <= 1f, s"decay must be in (0,1], got $decay")
   // same guard as SketchConfig: lutSize <= 1 would divide by zero (or index
   // negatively) in SketchOps.decayAt at the first collision decay
@@ -249,6 +257,11 @@ final class SlidingSketch(val cfg: SlidingConfig) extends Serializable {
         countsSum(idx) = s
         if (s > maxSum) maxSum = s
       } else { // collision: decay the minimum non-zero ring slot
+        // LOCKSTEP with Sketch.updateBucket's collision branch: same trial
+        // loop shape (threshold check, geometricTrials bookkeeping,
+        // k > incrementRemaining early-out, takeover remainder), different
+        // decrement/takeover target (ring min-slot here, scalar count
+        // there). Any fix to either loop MUST be applied to both.
         var s                  = sum
         var incrementRemaining = increment
         var break              = false
@@ -357,9 +370,10 @@ final class SlidingSketch(val cfg: SlidingConfig) extends Serializable {
     // decay/seed steer collision paths — a mismatch makes results depend
     // on nondeterministic merge direction instead of failing fast
     require(other.cfg.k == cfg.k && other.cfg.decay == cfg.decay &&
-      other.cfg.seed == cfg.seed,
+      other.cfg.seed == cfg.seed && other.cfg.lutSize == cfg.lutSize,
       s"sliding sketch config mismatch: k=${cfg.k}/${other.cfg.k} " +
-        s"decay=${cfg.decay}/${other.cfg.decay} seed=${cfg.seed}/${other.cfg.seed}")
+        s"decay=${cfg.decay}/${other.cfg.decay} seed=${cfg.seed}/${other.cfg.seed} " +
+        s"lutSize=${cfg.lutSize}/${other.cfg.lutSize}")
     var b = 0
     while (b < m) {
       val ca = countsSum(b); val cb = other.countsSum(b)
