@@ -235,6 +235,18 @@ class TrainingOpsSpec extends AnyFunSuite {
       spark.conf.set("spark.graft.grid.maxBlockBytes", "64") // bytes, absurdly tight
       val ex = intercept[IllegalArgumentException](pairs(2))
       assert(ex.getMessage.contains("collect_list") && ex.getMessage.contains("auto-size"))
+      spark.conf.unset("spark.graft.grid.maxBlockBytes")
+
+      // plan shape: the score stage must run on its OWN cell-keyed exchange
+      // (16x shuffle partitions — not the join's byte-sized, AQE-coalesced
+      // partitioning, which bundles compute-dense cells into too few tasks)
+      val planned = Similarity.nearDupPairsBlocked(
+        corpus, $"vec_id", $"embedding", threshold = 0.95, nBlocks = 4)
+      val expected = 16 * spark.sessionState.conf.numShufflePartitions
+      val re = s"hashpartitioning\\(bi#\\d+, bj#\\d+, $expected\\)".r
+      assert(re.findFirstIn(planned.queryExecution.executedPlan.toString).isDefined,
+        "grid score stage lost its cell-keyed repartition " +
+          s"(expected hashpartitioning(bi, bj) into $expected partitions)")
     } finally {
       spark.conf.unset("spark.graft.grid.maxBlockBytes")
       graft.SparkEntry.deleteRecursively(java.nio.file.Paths.get(dir))
