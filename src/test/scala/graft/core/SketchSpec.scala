@@ -134,6 +134,25 @@ class SketchSpec extends AnyFunSuite {
       seq.sortedSlice.map(e => (e.item, e.count)).toSeq)
   }
 
+  test("merge rejects config mismatches (k/decay/seed/lutSize), not just geometry") {
+    // a k mismatch makes the union heap's CAPACITY depend on nondeterministic
+    // blob arrival order after a shuffle — must fail fast, never vary
+    val base = SketchConfig.withDefaults(5, width = 64, depth = 2)
+    def sk(cfg: SketchConfig): Sketch = { val s = new Sketch(cfg); s.add("x", 1L); s }
+    for (other <- Seq(
+        base.copy(k = 7),
+        base.copy(decay = 0.8f),
+        base.copy(seed = 123L),
+        base.copy(lutSize = 512))) {
+      val ex = intercept[IllegalArgumentException](sk(base).merge(sk(other)))
+      assert(ex.getMessage.contains("config mismatch"))
+    }
+    // geometry alone still rejected by its own guard
+    val geo = intercept[IllegalArgumentException](
+      sk(base).merge(sk(SketchConfig.withDefaults(5, width = 128, depth = 2))))
+    assert(geo.getMessage.contains("geometry"))
+  }
+
   test("merge is commutative") {
     val cfg = SketchConfig.withDefaults(5, width = 64, depth = 2)
     def mk(updates: Seq[(String, Long)]): Sketch = {

@@ -61,6 +61,18 @@ class TopKAggregatorSpec extends AnyFunSuite {
     assert(recall >= 18, s"recall@20 = $recall")
   }
 
+  test("udaf tolerates NULL items and NULL weights (null->no-op, matching SQL path)") {
+    // TokenUpdate.weight is boxed precisely so the encoder's AssertNotNull
+    // can't kill the query on a NULL weight row; reduce must skip it.
+    val rows = Seq[(String, java.lang.Long)](
+      ("X", 5L), (null, 3L), ("X", null), ("Y", 2L), ("Y", null)
+    ).toDF("item", "weight")
+    val cfg = SketchConfig.withDefaults(3, width = 256, depth = 3)
+    val out = TopK.aggregate(rows, col("item"), col("weight"), cfg)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("X", 5L), ("Y", 2L)))
+  }
+
   test("per-group top-K (aggregateBy) with rank") {
     val rows = Seq(
       ("web", "a", 5L), ("web", "b", 3L), ("web", "a", 2L),

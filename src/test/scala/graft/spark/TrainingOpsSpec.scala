@@ -23,6 +23,21 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(groups.head.getAs[scala.collection.Seq[Long]]("doc_ids").toSeq == Seq(1L, 3L, 5L))
   }
 
+  test("exact dedup: null-text docs are never duplicates of each other") {
+    // xxhash64 skips null inputs (returns the bare seed), which would merge
+    // every text-less doc into ONE group — and a dedup pipeline would then
+    // drop all but one of them. Each must be its own singleton survivor.
+    val df = Seq[(Long, String)](
+      (1L, null), (2L, "same"), (3L, null), (4L, "same"), (5L, null)
+    ).toDF("doc_id", "text")
+    val survivors = Dedup.exactSurvivors(df, $"doc_id", $"text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(survivors == Set((1L, 1L), (3L, 1L), (5L, 1L), (2L, 2L)))
+    val groups = Dedup.exactDupGroups(df, $"doc_id", $"text").collect()
+    assert(groups.length == 1) // only the real "same" pair; no null group
+    assert(groups.head.getAs[scala.collection.Seq[Long]]("doc_ids").toSeq == Seq(2L, 4L))
+  }
+
   test("minhash LSH finds planted near-duplicates and skips distinct docs") {
     val nearDup = base.replace("lazy", "sleepy") // small edit
     val docs = Seq(
