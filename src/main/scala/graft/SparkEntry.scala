@@ -645,9 +645,15 @@ object SparkEntry {
                 count(*) AS count_order
          FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    // the second grouping term mirrors Dedup.nullSingletonKey: the engine
+    // treats NULL-text docs as singleton groups (never duplicates of each
+    // other), while a bare GROUP BY text would collapse all NULLs into ONE
+    // group — today's corpus has no null texts (0 extra groups), but a
+    // regenerated corpus with them must stay green, not hash-mismatch
     "dedup_exact" ->
       """SELECT min(doc_id) AS survivor_id, count(*) AS n_copies
-         FROM documents GROUP BY text""",
+         FROM documents
+         GROUP BY text, CASE WHEN text IS NULL THEN doc_id ELSE 0 END""",
 
     "dedup_exact_groups" ->
       """WITH all_docs AS (
@@ -658,7 +664,9 @@ object SparkEntry {
          SELECT min(doc_id) AS survivor_id,
                 string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids,
                 count(*) AS n_copies
-         FROM all_docs GROUP BY text HAVING count(*) > 1""",
+         FROM all_docs
+         GROUP BY text, CASE WHEN text IS NULL THEN doc_id ELSE 0 END
+         HAVING count(*) > 1""",
 
     "dedup_minhash_jaccard" ->
       """WITH sh AS (

@@ -92,11 +92,18 @@ object Lineage {
     * deployments this exists to monitor.
     */
   final class MetricsListener(maxRetained: Int = 100000) extends StreamingQueryListener {
-    private val buf = scala.collection.mutable.ArrayDeque.empty[BatchMetrics]
+    // keyed by (queryId, batchId), insertion-ordered: a batch replayed after
+    // checkpoint restart (failure between sink write and commit) re-emits
+    // the same key and OVERWRITES in place — last write wins at O(1), so
+    // consumers summing a series never double-count, no matter how many
+    // other queries' batches landed between the original and the replay
+    // (a recency-window scan here missed replays past the window).
+    private val buf =
+      scala.collection.mutable.LinkedHashMap.empty[(java.util.UUID, Long), BatchMetrics]
 
-    def metrics: Seq[BatchMetrics] = buf.synchronized(buf.toSeq)
+    def metrics: Seq[BatchMetrics] = buf.synchronized(buf.values.toSeq)
 
-    /** One query's series, in arrival order. */
+    /** One query's series, in first-arrival order. */
     def metricsFor(queryId: java.util.UUID): Seq[BatchMetrics] =
       metrics.filter(_.queryId == queryId)
 
@@ -104,23 +111,13 @@ object Lineage {
       val (rows, bytes) = p.stateOperators.foldLeft((0L, 0L)) { (acc, so) =>
         (acc._1 + so.numRowsTotal, acc._2 + so.memoryUsedBytes)
       }
-      buf.synchronized {
-        val bm = BatchMetrics(p.id, p.batchId, p.numInputRows, p.processedRowsPerSecond, rows, bytes)
-        // a batch replayed after checkpoint restart (failure between sink
-        // write and commit) re-emits the same (queryId, batchId): last
-        // write wins, so consumers summing the series don't double-count.
-        // Replays re-arrive promptly after the restart, so only a bounded
-        // recent window is scanned — O(64) per batch, not O(retained).
-        var i = buf.size - 1
-        val floor = math.max(0, buf.size - 64)
-        while (i >= floor && !(buf(i).queryId == bm.queryId && buf(i).batchId == bm.batchId))
-          i -= 1
-        if (i >= floor) buf(i) = bm
-        else {
-          buf += bm
-          while (buf.size > maxRetained) buf.removeHead()
-        }
-      }
+      add(BatchMetrics(p.id, p.batchId, p.numInputRows, p.processedRowsPerSecond, rows, bytes))
+    }
+
+    // seam for the spec: StreamingQueryProgress has no public constructor
+    private[streaming] def add(bm: BatchMetrics): Unit = buf.synchronized {
+      buf.update((bm.queryId, bm.batchId), bm)
+      while (buf.size > maxRetained) buf.remove(buf.head._1)
     }
 
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()

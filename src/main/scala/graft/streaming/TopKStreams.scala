@@ -102,8 +102,10 @@ object TopKStreams {
     * @param reduceMetrics optional (rowsIn, rowsOut) accumulators for the
     *                map-side partial reduce — the production dial for "is
     *                the reduce compacting on this stream's key/item shape"
-    *                (counts added once per partition per batch; zero
-    *                overhead when None). Accumulator caveat: updates from a
+    *                (counts added once per flushed reduce-map chunk — at
+    *                least once per partition per batch, more when the
+    *                bounded map overflows its cap; zero overhead when
+    *                None). Accumulator caveat: updates from a
     *                TRANSFORMATION are at-least-once — task retries and
     *                speculative duplicates inflate both counters. The
     *                in/out RATIO stays representative (both sides inflate
