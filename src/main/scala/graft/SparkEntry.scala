@@ -271,6 +271,14 @@ object SparkEntry {
           array_join(col("doc_ids"), ",").as("doc_ids"), col("n_copies"))
     }),
 
+    // EXACT all-pairs word-3-gram Jaccard via prefix filtering — recall 1
+    // by construction (no sketch in the candidate path), so oracle parity
+    // is deterministic up to 64-bit gram-hash collisions (~pairs/2⁶⁵).
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      graft.operators.Dedup.ngramJaccardPairs(
+        documents(s, dir), col("doc_id"), col("text"), n = 3, threshold = 0.8)
+        .select(col("a"), col("b"), col("jaccard"))),
+
     // Oracle-parity is PROBABILISTIC here, in two documented ways: (a) the
     // engine's Jaccard runs over 32-bit-hashed shingles (the scale design —
     // raw shingle sets don't fit a shuffle at 100 TB) while the oracle uses
@@ -673,6 +681,25 @@ object SparkEntry {
            SELECT doc_id,
                   list_distinct([substr(text, i, 5) FOR i IN range(1, len(text) - 3)]) AS s
            FROM documents WHERE len(text) >= 5)
+         SELECT a.doc_id AS a, b.doc_id AS b,
+                len(list_intersect(a.s, b.s))::DOUBLE
+                  / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+         FROM sh a, sh b
+         WHERE a.doc_id < b.doc_id
+           AND len(list_intersect(a.s, b.s))::DOUBLE
+                 / len(list_distinct(list_concat(a.s, b.s))) >= 0.8""",
+
+    // full all-pairs enumeration — the engine's prefix filter is exact, so
+    // the two sides must agree pair-for-pair, value-for-value
+    "dedup_ngram_jaccard" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS w
+           FROM documents WHERE text IS NOT NULL),
+         sh AS (
+           SELECT doc_id,
+                  list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) AS s
+           FROM toks WHERE len(w) >= 3)
          SELECT a.doc_id AS a, b.doc_id AS b,
                 len(list_intersect(a.s, b.s))::DOUBLE
                   / len(list_distinct(list_concat(a.s, b.s))) AS jaccard

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.core.XxHash32
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines.
@@ -69,6 +70,35 @@ object Dedup {
           i += 1
         }
         out.distinct
+      }
+    }
+
+  /** Word n-grams of a text (whitespace tokenization), each hashed to 64
+    * bits (two seeded XXH32 halves, like [[simhash64]]'s token hash).
+    * 64-bit — not the shingle helper's 32 — because [[ngramJaccardPairs]]
+    * treats hash equality as gram equality with an EXACTNESS contract:
+    * at 32 bits a billion-doc corpus sees real within-doc collisions that
+    * silently shrink set sizes, while 64-bit collisions stay ~n²/2⁶⁵
+    * (the same accepted residual as [[exactSurvivors]]).
+    * Docs with fewer than n tokens (or null text) produce no grams.
+    */
+  def wordNgramHashes(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (s: String) =>
+      if (s == null) Array.empty[Long]
+      else {
+        val toks = s.split("\\s+").filter(_.nonEmpty)
+        if (toks.length < n) Array.empty[Long]
+        else {
+          val out = new Array[Long](toks.length - n + 1)
+          var i = 0
+          while (i < out.length) {
+            val gram = toks.slice(i, i + n).mkString(" ")
+            out(i) = (XxHash32.hashString(gram, 0x6b9d1c3a).toLong << 32) |
+              (XxHash32.hashString(gram, 0x2f8e4d17).toLong & 0xffffffffL)
+            i += 1
+          }
+          out.distinct
+        }
       }
     }
 
@@ -217,6 +247,19 @@ object Dedup {
       docs: DataFrame,  // (doc_id, text)
       shingleSize: Int = 5,
       narrowToCandidates: Option[Boolean] = None
+  ): DataFrame =
+    exactJaccardBy(pairs, docs, shingleHashes(shingleSize)(_), narrowToCandidates)
+
+  /** [[exactJaccard]] generalized over the gram function — the same
+    * verifier serves character shingles ([[shingleHashes]]) and word
+    * n-grams ([[wordNgramHashes]]); `grams` must return a DISTINCT
+    * hash array per text (both helpers do).
+    */
+  private def exactJaccardBy(
+      pairs: DataFrame,
+      docs: DataFrame,
+      grams: Column => Column,
+      narrowToCandidates: Option[Boolean]
   ): DataFrame = {
     // Above a size cutover, only docs that appear in a candidate pair get
     // shingled: the semi-join costs an 8-byte-key shuffle and keeps the
@@ -247,13 +290,91 @@ object Dedup {
         base.join(ids, Seq("doc_id"), "left_semi")
       }
     val sh = narrowed.select(col("doc_id"),
-      shingleHashes(shingleSize)(col("text")).as("sh")) // already distinct
+      grams(col("text")).as("sh")) // already distinct
     pairs
       .join(sh.select(col("doc_id").as("a"), col("sh").as("sh_a")), Seq("a"))
       .join(sh.select(col("doc_id").as("b"), col("sh").as("sh_b")), Seq("b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .select(col("a"), col("b"), (col("inter") / col("uni")).as("jaccard"))
+  }
+
+  // ---------- exact word-n-gram Jaccard (prefix filtering) ----------
+
+  /** EXACT word-n-gram Jaccard near-duplicate pairs via prefix filtering
+    * (Bayardo, Ma & Srikant, "Scaling Up All Pairs Similarity Search",
+    * WWW'07 — the all-pairs prefix-filter principle; no code consulted).
+    *
+    * Unlike [[minhashLshPairs]] (probabilistic candidates + estimate), this
+    * operator guarantees recall 1 with no sketch: every pair whose Jaccard
+    * over DISTINCT word n-grams is >= threshold is emitted, with its exact
+    * similarity. Output: (a, b, jaccard), a < b.
+    *
+    * Scale shape — the naive exact method (inverted-index join on ALL
+    * grams) blows up quadratically on high-document-frequency "stop
+    * grams". Prefix filtering bounds it: order every doc's grams by a
+    * GLOBAL (document-frequency asc, gram asc) total order and index only
+    * the prefix of length p(x) = |x| - ceil(t·|x|) + 1 — its rarest grams.
+    * Any qualifying pair must collide inside both prefixes [J(x,y) >= t
+    * implies |x∩y| >= t·|x∪y| >= ceil(t·max(|x|,|y|)) =: α; the SMALLEST
+    * common gram in the global order sits at position <= |x| - α + 1 <=
+    * p(x) in x (at most α-1 common grams can follow it) and likewise in
+    * y], so frequent grams are joined only for the rare docs where they
+    * fall inside the prefix. Every stage is an equality-keyed shuffle on
+    * 8-byte gram hashes or doc ids — no all-pairs anywhere; the final
+    * verify reuses [[exactJaccard]]'s candidate-narrowed join.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int = 3,
+      threshold: Double = 0.8,
+      narrowToCandidates: Option[Boolean] = None
+  ): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1] (prefix length diverges as t -> 0), got $threshold")
+    val docs    = df.select(id.cast("long").as("doc_id"), text.as("text"))
+    val gramUdf = wordNgramHashes(n)
+    // (doc_id, set size, gram) rows; sz rides the explode (8 bytes) so no
+    // second window pass is needed for the prefix-length arithmetic
+    val grams = docs
+      .select(col("doc_id"), gramUdf(col("text")).as("grams"))
+      .where(size(col("grams")) > 0)
+      .select(col("doc_id"), size(col("grams")).as("sz"), explode(col("grams")).as("gram"))
+    // global document frequency — the rarest-first order making prefixes
+    // selective. groupBy + join-back evaluates the gram subplan twice (two
+    // scans of the text, visible in PLANS.md) — deliberately NOT a
+    // count-over-Window on gram, which would evaluate once but pin every
+    // occurrence of a hot stop-gram into ONE unsplittable window partition;
+    // the join keeps partial aggregation map-side and leaves AQE's
+    // skew-join split available for the hot keys, and tokenization is the
+    // cheapest stage of this pipeline
+    val dfreq = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+    // per-doc rank under the global (df, gram) order; keep rank <= p(x).
+    // ceil(t·sz - 1e-9): the mathematical alpha is ceil(t·sz), but binary
+    // doubles can land fractionally ABOVE the true integer product
+    // (0.8 * 5 = 4.0000000000000002 -> ceil 5, silently SHORTENING the
+    // prefix and breaking the recall guarantee); subtracting an epsilon
+    // can only lengthen a prefix, which adds candidates but never loses one
+    val ranked = grams.join(dfreq, Seq("gram"))
+      .withColumn("rk",
+        row_number().over(Window.partitionBy("doc_id").orderBy(col("df"), col("gram"))))
+    val prefix = ranked
+      .where(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
+      .select("doc_id", "gram")
+    // self-alias equality join on prefix grams (one exchange, reused by
+    // both sides; shuffle_merge blocks a one-sided broadcast that would
+    // re-run the df-join pipeline), then slim (a, b) dedup before the
+    // full-set verify
+    val cands = prefix.as("l").hint("shuffle_merge")
+      .join(prefix.as("r").hint("shuffle_merge"),
+        col("l.gram") === col("r.gram") && col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+      .distinct()
+    exactJaccardBy(cands, docs, gramUdf(_), narrowToCandidates)
+      .where(col("jaccard") >= threshold)
   }
 
   // ---------- SimHash ----------

@@ -267,4 +267,59 @@ class TrainingOpsSpec extends AnyFunSuite {
       graft.SparkEntry.deleteRecursively(java.nio.file.Paths.get(dir))
     }
   }
+
+  // brute-force word-n-gram Jaccard over a doc list, mirroring the operator's
+  // tokenization (whitespace split, distinct grams); pairs with a < b
+  private def bruteNgramJaccard(docs: Seq[(Long, String)], n: Int, t: Double)
+  : Set[(Long, Long, Double)] = {
+    def grams(s: String): Set[String] = {
+      if (s == null) return Set.empty
+      val toks = s.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < n) Set.empty
+      else toks.sliding(n).map(_.mkString(" ")).toSet
+    }
+    val gs = docs.map { case (id, s) => (id, grams(s)) }.filter(_._2.nonEmpty)
+    (for {
+      (ia, ga) <- gs; (ib, gb) <- gs if ia < ib
+      j = (ga & gb).size.toDouble / (ga | gb).size
+      if j >= t
+    } yield (ia, ib, j)).toSet
+  }
+
+  test("ngram Jaccard prefix filter: exact parity with brute force, incl. short docs") {
+    // seeded corpus stressing the recall-breaking regimes of a sketch-based
+    // method: tiny gram sets (4-6 grams at the 0.8 boundary), exact dups,
+    // one-token edits of a long doc, plus null/empty/sub-n-token rows
+    val rng   = new scala.util.Random(42)
+    val vocab = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    def sentence(len: Int) = Array.fill(len)(vocab(rng.nextInt(vocab.length))).mkString(" ")
+    val longs = (0L until 20L).map(i => (i, sentence(40)))
+    val edits = longs.take(6).map { case (i, s) => // one-token edit near-dups
+      val toks = s.split(" "); toks(rng.nextInt(toks.length)) = "edited"
+      (i + 100L, toks.mkString(" "))
+    }
+    // short docs: 7 tokens -> 5 trigrams; a one-token TAIL edit keeps 4 of
+    // 5 grams: jaccard 4/6 = 0.67 (below), identical copies = 1.0 (above)
+    val shorts = (0L until 10L).map(i => (200L + i, sentence(7)))
+    val shortDups  = shorts.take(3).map { case (i, s) => (i + 100L, s) }
+    val degenerate = Seq((400L, null: String), (401L, ""), (402L, "one two"), (403L, "   "))
+    val all = longs ++ edits ++ shorts ++ shortDups ++ degenerate
+
+    for (t <- Seq(0.8, 1.0)) {
+      val expected = bruteNgramJaccard(all, 3, t)
+      assert(expected.exists(_._3 >= 1.0) && (t > 0.8 || expected.exists(_._3 < 1.0)),
+        s"corpus must exercise both boundary regimes at t=$t")
+      val got = Dedup.ngramJaccardPairs(all.toDF("doc_id", "text"),
+          $"doc_id", $"text", n = 3, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got.map(p => (p._1, p._2)) == expected.map(p => (p._1, p._2)),
+        s"pair sets differ at t=$t: missing=${expected.map(p => (p._1, p._2)) -- got.map(p => (p._1, p._2))} " +
+          s"extra=${got.map(p => (p._1, p._2)) -- expected.map(p => (p._1, p._2))}")
+      got.foreach { case (a, b, j) =>
+        val ej = expected.find(p => p._1 == a && p._2 == b).get._3
+        assert(math.abs(j - ej) < 1e-12, s"jaccard($a,$b)=$j expected $ej")
+      }
+    }
+  }
 }
