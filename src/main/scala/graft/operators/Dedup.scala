@@ -323,6 +323,15 @@ object Dedup {
     * fall inside the prefix. Every stage is an equality-keyed shuffle on
     * 8-byte gram hashes or doc ids — no all-pairs anywhere; the final
     * verify reuses [[exactJaccard]]'s candidate-narrowed join.
+    *
+    * `narrowToCandidates` tuning: with narrowing on, AQE reuses the
+    * candidate subplan for the ids semi-join (ReusedExchange on the pair
+    * distinct — the pipeline does NOT run twice; tools/ProbeNgramPlan),
+    * so the residual cost is the extra union/distinct/semi-join exchanges.
+    * On a candidate-DENSE corpus (the 30%-dup scale rehearsal) that
+    * overhead exceeds the saving — `Some(false)` measured 1.33x faster
+    * there (tools/ProbeNgram) — while sparse production corpora keep the
+    * default cutover's win (verify table ∝ candidates, not corpus).
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -350,19 +359,38 @@ object Dedup {
     // occurrence of a hot stop-gram into ONE unsplittable window partition;
     // the join keeps partial aggregation map-side and leaves AQE's
     // skew-join split available for the hot keys, and tokenization is the
-    // cheapest stage of this pipeline
-    val dfreq = grams.groupBy("gram").agg(count(lit(1)).as("df"))
-    // per-doc rank under the global (df, gram) order; keep rank <= p(x).
+    // cheapest stage of this pipeline.
+    //
+    // df=1 PRUNING (the load-bearing trim — measured 3 GB shuffle + 3 GB
+    // sort-spill without it at 500k docs, CoreScaleProbe): a gram unique to
+    // one document can never produce a candidate pair, and every COMMON
+    // gram has df >= 2, so only df >= 2 grams need to be ranked and
+    // indexed. The recall witness survives: the smallest common gram c1 of
+    // a qualifying pair sits at FULL-order position <= p in both docs, and
+    // c1 necessarily has df >= 2, so it stays indexed as long as ranks are
+    // computed against the full order — df=1 grams all precede df>=2 grams
+    // in (df, gram) order, so full rank = (#df=1 grams of the doc) + rank
+    // among the doc's df>=2 grams = (sz - nshared) + rk below. Benefits:
+    // the window sorts only the shared-gram subset, and the join's df>=2
+    // side is small enough for AQE to broadcast on corpora with few
+    // near-dups — the 26M-row gram exchange disappears entirely.
+    val dfreq2 = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2)
+    val shared = grams.join(dfreq2, Seq("gram"))
+    // per-doc rank under the global (df, gram) order; keep full rank <=
+    // p(x) = sz - ceil(t·sz) + 1.
     // ceil(t·sz - 1e-9): the mathematical alpha is ceil(t·sz), but binary
     // doubles can land fractionally ABOVE the true integer product
     // (0.8 * 5 = 4.0000000000000002 -> ceil 5, silently SHORTENING the
     // prefix and breaking the recall guarantee); subtracting an epsilon
     // can only lengthen a prefix, which adds candidates but never loses one
-    val ranked = grams.join(dfreq, Seq("gram"))
-      .withColumn("rk",
-        row_number().over(Window.partitionBy("doc_id").orderBy(col("df"), col("gram"))))
+    val byDoc  = Window.partitionBy("doc_id")
+    val ranked = shared
+      .withColumn("rk", row_number().over(byDoc.orderBy(col("df"), col("gram"))))
+      .withColumn("nshared", count(lit(1)).over(byDoc))
     val prefix = ranked
-      .where(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
+      .where((col("sz") - col("nshared")) + col("rk") <=
+        col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
       .select("doc_id", "gram")
     // self-alias equality join on prefix grams (one exchange, reused by
     // both sides; shuffle_merge blocks a one-sided broadcast that would

@@ -86,6 +86,9 @@ object TrainingScaleBench {
       Dedup.exactJaccard(cand.select("a", "b"), docs, shingleSize = 5)
         .where(col("jaccard") >= 0.8).count()
     }),
+    Op("ngram_jaccard", Seq(5000L, 50000L, 500000L), (s, n) =>
+      Dedup.ngramJaccardPairs(readDocs(s, n), col("doc_id"), col("text"),
+        n = 3, threshold = 0.8).count()),
     Op("simhash", Seq(5000L, 50000L, 500000L), (s, n) =>
       Dedup.simhashPairs(readDocs(s, n), col("doc_id"), col("text"),
         maxDistance = 3).count()),
@@ -149,7 +152,8 @@ object TrainingScaleBench {
     // materialize every corpus first (generation excluded from timings)
     ops.foreach(op => sizesOf(op).foreach { n =>
       op.name match {
-        case "minhash_lsh+jaccard" | "simhash" | "scan_docs" => docsDir(spark, n)
+        case "minhash_lsh+jaccard" | "simhash" | "ngram_jaccard" | "scan_docs" =>
+          docsDir(spark, n)
         case "sessions_gap" | "scan_events"                  => eventsDir(spark, n)
         case _                                               => vecsDir(spark, n)
       }
