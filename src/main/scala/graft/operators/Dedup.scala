@@ -379,18 +379,22 @@ object Dedup {
     val shared = grams.join(dfreq2, Seq("gram"))
     // per-doc rank under the global (df, gram) order; keep full rank <=
     // p(x) = sz - ceil(t·sz) + 1.
-    // ceil(t·sz - 1e-9): the mathematical alpha is ceil(t·sz), but binary
+    // ceil(t·sz·(1-4e-16)): the mathematical alpha is ceil(t·sz), but binary
     // doubles can land fractionally ABOVE the true integer product
     // (0.8 * 5 = 4.0000000000000002 -> ceil 5, silently SHORTENING the
-    // prefix and breaking the recall guarantee); subtracting an epsilon
-    // can only lengthen a prefix, which adds candidates but never loses one
+    // prefix and breaking the recall guarantee). The rounding error is
+    // RELATIVE (<= ~2.3e-16 of t·sz across the literal + product roundings),
+    // so the guard must be too — an absolute 1e-9 stops covering documents
+    // past ~1e7 distinct grams, where one ulp of t·sz exceeds it. Shrinking
+    // by 4e-16 relative strictly dominates the error at every sz and can
+    // only LENGTHEN a prefix, which adds candidates but never loses one.
     val byDoc  = Window.partitionBy("doc_id")
     val ranked = shared
       .withColumn("rk", row_number().over(byDoc.orderBy(col("df"), col("gram"))))
       .withColumn("nshared", count(lit(1)).over(byDoc))
     val prefix = ranked
       .where((col("sz") - col("nshared")) + col("rk") <=
-        col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
+        col("sz") - ceil(lit(threshold) * col("sz") * lit(1.0 - 4e-16)) + 1)
       .select("doc_id", "gram")
     // self-alias equality join on prefix grams (one exchange, reused by
     // both sides; shuffle_merge blocks a one-sided broadcast that would

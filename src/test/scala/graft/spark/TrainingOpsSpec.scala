@@ -320,6 +320,16 @@ class TrainingOpsSpec extends AnyFunSuite {
         val ej = expected.find(p => p._1 == a && p._2 == b).get._3
         assert(math.abs(j - ej) < 1e-12, s"jaccard($a,$b)=$j expected $ej")
       }
+      // the production-scale default branch: narrowToCandidates=true makes
+      // the verify stage re-derive candidate ids and semi-join docs before
+      // shingling — on this small corpus the stats cutover picks FALSE, so
+      // force the narrowed path explicitly and require identical output
+      val narrowed = Dedup.ngramJaccardPairs(all.toDF("doc_id", "text"),
+          $"doc_id", $"text", n = 3, threshold = t,
+          narrowToCandidates = Some(true))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(narrowed == got,
+        s"narrowToCandidates=true diverges at t=$t: missing=${got -- narrowed} extra=${narrowed -- got}")
     }
   }
 }
