@@ -286,6 +286,45 @@ class TrainingOpsSpec extends AnyFunSuite {
     } yield (ia, ib, j)).toSet
   }
 
+  test("ngram prefix alpha: relative epsilon matches exact ceil(t*sz) at every size") {
+    // the operator computes alpha = ceil(t*sz*(1-4e-16)) in double math; the
+    // recall proof needs alpha <= the EXACT mathematical ceil(t*sz) (a larger
+    // alpha shortens the prefix and loses candidates), and ideally equal (a
+    // smaller alpha only adds candidates). Documents with >1e7 distinct grams
+    // can't run through Spark in a unit test, so pin the arithmetic directly:
+    // exact value via BigDecimal, sizes spanning the regime where one ulp of
+    // t*sz exceeds the old absolute 1e-9 guard (sz >~ 1e7) up to 4e9 grams.
+    val sizes = Seq(1L, 2L, 5L, 7L, 100L, 999L, 1000000L, 9999999L,
+      10000001L, 33554432L, 42000000L, 999999937L, 4000000000L)
+    val thresholds = Seq(0.5, 0.7, 0.8, 0.85, 0.9, 0.99, 1.0)
+    // adversarial pairs where the OLD absolute guard ceil(t*sz - 1e-9)
+    // provably overshot (found by scanning decimals with upward binary
+    // representation error against sizes putting t*sz near a binade top,
+    // where one ulp > 1e-9): the prefix was one gram too short at exactly
+    // these (threshold, gram-count) combinations
+    val adversarial = Seq((0.534, 62771500L), (0.81, 41383400L), (0.937, 35771000L))
+    for ((t, sz) <- adversarial) {
+      val oldGuard = math.ceil(t * sz.toDouble - 1e-9).toLong
+      val exact = (BigDecimal(t.toString) * BigDecimal(sz))
+        .setScale(0, BigDecimal.RoundingMode.CEILING).toLongExact
+      assert(oldGuard == exact + 1, s"pair (t=$t, sz=$sz) no longer witnesses the old bug")
+    }
+    for (t <- thresholds ++ adversarial.map(_._1);
+         sz <- sizes ++ adversarial.map(_._2)) {
+      val got = math.ceil(t * sz.toDouble * (1.0 - 4e-16)).toLong
+      // intended threshold = the decimal the caller wrote (t.toString is the
+      // shortest round-trip decimal), NOT the binary double's expansion —
+      // fl(0.8)*5 is fractionally above 4, and "exact" over the binary value
+      // would bless the very overshoot the epsilon exists to prevent
+      val exact = (BigDecimal(t.toString) * BigDecimal(sz))
+        .setScale(0, BigDecimal.RoundingMode.CEILING).toLongExact
+      assert(got <= exact, s"alpha OVERSHOOTS (prefix too short) at t=$t sz=$sz: $got > $exact")
+      assert(got >= exact - 1, s"alpha undershoots by >1 at t=$t sz=$sz: $got < ${exact - 1}")
+      // the t=1.0 column must stay exact: alpha == sz keeps prefix length 1
+      if (t == 1.0) assert(got == sz, s"t=1.0 must give alpha=sz, got $got for sz=$sz")
+    }
+  }
+
   test("ngram Jaccard prefix filter: exact parity with brute force, incl. short docs") {
     // seeded corpus stressing the recall-breaking regimes of a sketch-based
     // method: tiny gram sets (4-6 grams at the 0.8 boundary), exact dups,
