@@ -156,6 +156,27 @@ object SparkEntry {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Run `body` with no-data micro-batches disabled (restored after).
+    *
+    * ONLY legal for queries whose no-data batch provably emits nothing: an
+    * INNER stream-stream join emits each matched pair as soon as both sides
+    * arrive (no watermark withhold), so the trailing no-data batch exists
+    * purely to evict expired state — it loads, updates and commits every
+    * state store (4 per partition for a join) to produce zero rows, a
+    * measured 35% of the bounded-run wall (ProfileStreamJoin: 3.49 s ->
+    * 2.26 s at sf0.1). On an unbounded production stream the same flag
+    * skips idle-period batches; state eviction then rides the next data
+    * batch. The window/sliding/session queries MUST keep no-data batches:
+    * their final windows emit exactly when the terminal no-data batch
+    * advances the watermark past them.
+    */
+  private def withNoDataBatchesOff[A](s: SparkSession)(body: => A): A = {
+    val key  = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "false")
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("topk_event_types")(spark, "/root/testdata/sf0.001")
@@ -290,9 +311,15 @@ object SparkEntry {
     // properties of the parameters, not tuning against the test data.
     "dedup_minhash_jaccard" -> ((s, dir) => {
       val docs = documents(s, dir).select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      // sizeFilter = the VERIFY threshold below (0.8), not the candidate
+      // estimate threshold: pairs whose shingle-set sizes make J >= 0.8
+      // impossible are pruned at the band join instead of riding the pair
+      // dedup + signature re-join + exact verify only to be discarded
+      // there. Lossless for this composed query (see minhashLshPairs doc).
       val candidates = graft.operators.Dedup.minhashLshPairs(
         docs, col("doc_id"), col("text"),
-        shingleSize = 5, numHashes = 128, bands = 32, threshold = 0.5)
+        shingleSize = 5, numHashes = 128, bands = 32, threshold = 0.5,
+        sizeFilter = Some(0.8))
         .select("a", "b")
       graft.operators.Dedup.exactJaccard(candidates, docs, shingleSize = 5)
         .where(col("jaccard") >= 0.8)
@@ -561,7 +588,7 @@ object SparkEntry {
       import org.apache.spark.sql.streaming.Trigger
       val schema = events(s, dir).schema
       requireUtc(s)
-      withShufflePartitions(s, StreamStatePartitions) {
+      withShufflePartitions(s, StreamStatePartitions) { withNoDataBatchesOff(s) {
         def src() = s.readStream.schema(schema).parquet(streamSourceDir(dir).toString)
           .select(col("user_id").cast("long").as("key"),
             col("ts").cast("timestamp").as("ts"), col("event_type").as("payload"))
@@ -576,7 +603,7 @@ object SparkEntry {
         s.table(name).select(col("key").as("user_id"),
           col("ts_a").cast("timestamp_ntz").as("ts_a"), col("payload_a").as("type_a"),
           col("ts_b").cast("timestamp_ntz").as("ts_b"), col("payload_b").as("type_b"))
-      }
+      } }
     }),
 
     // membership surface: Query(item) as a semi-join against the top-K

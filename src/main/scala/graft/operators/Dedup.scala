@@ -53,23 +53,70 @@ object Dedup {
 
   // ---------- character-shingle helpers ----------
 
+  /** Distinct of the first `n` entries of `a`, preserving first-occurrence
+    * order (same output as `a.distinct`), via an open-addressed primitive
+    * probe table: `Array[Long].distinct` goes through the generic boxing
+    * path and measurably dominated the shingle stage (one box per shingle
+    * occurrence — tens of millions per task at rehearsal sizes).
+    */
+  private def distinctLongs(a: Array[Long], n: Int): Array[Long] = {
+    var cap = 16
+    while (cap < 2 * n) cap <<= 1
+    val table    = new Array[Long](cap) // 0L marks an empty slot
+    val mask     = cap - 1
+    var seenZero = false
+    val out      = new Array[Long](n)
+    var m        = 0
+    var i        = 0
+    while (i < n) {
+      val v = a(i)
+      if (v == 0L) { // the sentinel value is tracked out of band
+        if (!seenZero) { seenZero = true; out(m) = 0L; m += 1 }
+      } else {
+        var idx = (graft.core.Rng.mix64(v) & mask).toInt
+        var dup = false
+        while (table(idx) != 0L && !dup) {
+          if (table(idx) == v) dup = true else idx = (idx + 1) & mask
+        }
+        if (!dup) { table(idx) = v; out(m) = v; m += 1 }
+      }
+      i += 1
+    }
+    if (m == n) out else java.util.Arrays.copyOf(out, m)
+  }
+
   /** Character k-shingles of a text, each hashed to a 32-bit int (as long).
     * Uses the engine's seeded XXH32 so signatures are stable across runs.
+    *
+    * Hot path: when every char encodes to exactly ONE UTF-8 byte
+    * (`bytes.length == s.length` — ASCII, or lone surrogates that encode to
+    * '?' identically inside any substring), char windows equal byte windows,
+    * so the text is encoded ONCE and shingles hash in place — no per-shingle
+    * substring + re-encode allocations (two per shingle before). Multi-byte
+    * texts keep the substring path; both produce identical hashes.
     */
   def shingleHashes(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (s: String) =>
       if (s == null || s.length < k) Array.empty[Long]
       else {
         // shingles over CHARACTERS (String.substring windows)
-        val n   = s.length - k + 1
-        val out = new Array[Long](n)
-        var i   = 0
-        while (i < n) {
-          val sub = s.substring(i, i + k)
-          out(i) = XxHash32.hashString(sub, 0x5137a91e).toLong & 0xffffffffL
-          i += 1
+        val n     = s.length - k + 1
+        val out   = new Array[Long](n)
+        val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        if (bytes.length == s.length) {
+          var i = 0
+          while (i < n) {
+            out(i) = XxHash32.hash(bytes, i, k, 0x5137a91e).toLong & 0xffffffffL
+            i += 1
+          }
+        } else {
+          var i = 0
+          while (i < n) {
+            out(i) = XxHash32.hashString(s.substring(i, i + k), 0x5137a91e).toLong & 0xffffffffL
+            i += 1
+          }
         }
-        out.distinct
+        distinctLongs(out, n)
       }
     }
 
@@ -81,6 +128,13 @@ object Dedup {
     * silently shrink set sizes, while 64-bit collisions stay ~n²/2⁶⁵
     * (the same accepted residual as [[exactSurvivors]]).
     * Docs with fewer than n tokens (or null text) produce no grams.
+    *
+    * Gram bytes are assembled from per-token UTF-8 encodings joined by ' '
+    * in a reusable buffer — byte-identical to `gram.mkString(" ").getBytes`
+    * (UTF-8 is context-free and the single-byte separator can never join a
+    * surrogate pair split across tokens: an unpaired surrogate encodes to
+    * '?' on both paths), without the per-gram mkString + two getBytes
+    * allocations of the direct formulation.
     */
   def wordNgramHashes(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (s: String) =>
@@ -89,15 +143,35 @@ object Dedup {
         val toks = s.split("\\s+").filter(_.nonEmpty)
         if (toks.length < n) Array.empty[Long]
         else {
-          val out = new Array[Long](toks.length - n + 1)
-          var i = 0
-          while (i < out.length) {
-            val gram = toks.slice(i, i + n).mkString(" ")
-            out(i) = (XxHash32.hashString(gram, 0x6b9d1c3a).toLong << 32) |
-              (XxHash32.hashString(gram, 0x2f8e4d17).toLong & 0xffffffffL)
+          val tb = new Array[Array[Byte]](toks.length)
+          var i  = 0
+          while (i < toks.length) {
+            tb(i) = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
             i += 1
           }
-          out.distinct
+          var winLen = n - 1 // separators
+          var j      = 0
+          while (j < n) { winLen += tb(j).length; j += 1 }
+          val out = new Array[Long](toks.length - n + 1)
+          var buf = new Array[Byte](math.max(winLen, 64))
+          i = 0
+          while (i < out.length) {
+            if (i > 0) winLen += tb(i + n - 1).length - tb(i - 1).length
+            if (buf.length < winLen) buf = new Array[Byte](winLen)
+            var off = 0
+            var k   = i
+            while (k < i + n) {
+              if (k > i) { buf(off) = ' '; off += 1 }
+              val t = tb(k)
+              System.arraycopy(t, 0, buf, off, t.length)
+              off += t.length
+              k += 1
+            }
+            out(i) = (XxHash32.hash(buf, 0, off, 0x6b9d1c3a).toLong << 32) |
+              (XxHash32.hash(buf, 0, off, 0x2f8e4d17).toLong & 0xffffffffL)
+            i += 1
+          }
+          distinctLongs(out, out.length)
         }
       }
     }
@@ -175,6 +249,17 @@ object Dedup {
     * fraction of agreeing minhash slots -> threshold.
     * Output: (a, b, est_jaccard) with a < b.
     */
+  /** @param sizeFilter when Some(t), additionally prune candidate pairs
+    *   whose DISTINCT-shingle counts make a true Jaccard >= t impossible:
+    *   J(x,y) <= min(|x|,|y|)/max(|x|,|y|), so pairs with min < t·max are
+    *   dropped at the band join, before the pair dedup and the signature
+    *   re-join. LOSSLESS for any downstream exact-Jaccard filter at >= t;
+    *   it narrows this operator's own output only by pairs whose ESTIMATE
+    *   cleared `threshold` while their true Jaccard cannot reach t — pairs
+    *   a >= t verifier discards anyway. Pass the downstream VERIFY
+    *   threshold (not this function's estimate threshold); None (default)
+    *   preserves the pure candidates + estimate contract.
+    */
   def minhashLshPairs(
       df: DataFrame,
       id: Column,
@@ -182,26 +267,34 @@ object Dedup {
       shingleSize: Int = 5,
       numHashes: Int = 128,
       bands: Int = 32,
-      threshold: Double = 0.7
+      threshold: Double = 0.7,
+      sizeFilter: Option[Double] = None
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
+    // _sh is referenced twice below (signature + size); a ScalaUDF is not
+    // "cheap to duplicate", so CollapseProject keeps the projections apart
+    // and the shingle pass runs ONCE per row
     val sigs = df.select(id.cast("long").as("doc_id"), text.as("text"))
-      .withColumn("sig", minhashSignature(numHashes)(shingleHashes(shingleSize)(col("text"))))
+      .withColumn("_sh", shingleHashes(shingleSize)(col("text")))
+      .select(col("doc_id"),
+        minhashSignature(numHashes)(col("_sh")).as("sig"),
+        size(col("_sh")).as("sz"))
       .where(size(col("sig")) > 0)
-      .select(col("doc_id"), col("sig"))
 
     // band key = xxhash64 over the band's slice of the signature. The banded
-    // rows are SLIM — (doc_id, band, band_hash), 24 bytes — the signature
-    // does NOT ride the band explosion: at n docs × bands rows a 128-slot
-    // sig per row turns the self-join exchange into n × bands × ~520 B,
-    // which is a measured sort-spill cliff at scale (500k docs: ~16M banded
-    // rows ≈ 20 GB sorted, 361 s; slim banding + sig-join-after-distinct:
-    // 23 s — BENCH.md scale rehearsal).
-    val banded = sigs.select(
-      col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))).as(Seq("band", "band_hash")))
+    // rows are SLIM — (doc_id, band, band_hash), 24 bytes (+8 for the
+    // shingle count when sizeFilter is on) — the signature does NOT ride the
+    // band explosion: at n docs × bands rows a 128-slot sig per row turns
+    // the self-join exchange into n × bands × ~520 B, which is a measured
+    // sort-spill cliff at scale (500k docs: ~16M banded rows ≈ 20 GB
+    // sorted, 361 s; slim banding + sig-join-after-distinct: 23 s —
+    // BENCH.md scale rehearsal).
+    val bandKey = posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+      xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))).as(Seq("band", "band_hash"))
+    val banded =
+      if (sizeFilter.isDefined) sigs.select(col("doc_id"), col("sz"), bandKey)
+      else sigs.select(col("doc_id"), bandKey)
 
     // SELF-alias join (both sides are the same subplan, so the sort/exchange
     // is computed once and reused — ReusedExchange — instead of running the
@@ -212,10 +305,18 @@ object Dedup {
     // per colliding band), then the signatures join back once per pair —
     // two hash joins against the n-row sig table instead of sigs through
     // the n × bands band exchange.
+    // The size filter prunes per banded collision row, BEFORE the dedup
+    // exchange — the relative-epsilon shrink mirrors ngramJaccardPairs'
+    // alpha guard (the computed t·max can land one ulp above the real
+    // product; shrinking only ever KEEPS a boundary pair).
+    val szOk = sizeFilter.map(t =>
+        least(col("l.sz"), col("r.sz")) >=
+          lit(t) * greatest(col("l.sz"), col("r.sz")) * lit(1.0 - 4e-16))
+      .getOrElse(lit(true))
     val cands = banded.as("l").hint("shuffle_merge")
       .join(banded.as("r").hint("shuffle_merge"),
         col("l.band") === col("r.band") && col("l.band_hash") === col("r.band_hash")
-          && col("l.doc_id") < col("r.doc_id"))
+          && col("l.doc_id") < col("r.doc_id") && szOk)
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
       .distinct()
 
@@ -291,7 +392,20 @@ object Dedup {
       }
     val sh = narrowed.select(col("doc_id"),
       grams(col("text")).as("sh")) // already distinct
-    pairs
+    // The verify is COMPUTE-dense per byte (array_intersect/union over
+    // |x|+|y|-element gram arrays per pair) while its input rows are slim
+    // (a, b) pairs — so AQE's byte-based partition coalescing bundles the
+    // candidate exchange into one or two tasks and SERIALIZES the verify
+    // (measured: a 2.0 s single-task verify stage over 119k candidates at
+    // sf0.1 — the same failure mode as the grid kernel's score stage, see
+    // Similarity.nearDupPairsBlocked). An explicit repartition on the first
+    // join key with a pinned count spreads it (AQE honors user-specified
+    // partition counts); at scale the exchange replaces the `a`-keyed
+    // shuffle the verify join needs anyway (HashPartitioning(a, n) already
+    // satisfies the join's distribution when n = shuffle partitions).
+    val spread = pairs.repartition(
+      docs.sparkSession.sessionState.conf.numShufflePartitions, col("a"))
+    spread
       .join(sh.select(col("doc_id").as("a"), col("sh").as("sh_a")), Seq("a"))
       .join(sh.select(col("doc_id").as("b"), col("sh").as("sh_b")), Seq("b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
@@ -392,17 +506,40 @@ object Dedup {
     val ranked = shared
       .withColumn("rk", row_number().over(byDoc.orderBy(col("df"), col("gram"))))
       .withColumn("nshared", count(lit(1)).over(byDoc))
+      .withColumn("rkf", col("sz") - col("nshared") + col("rk")) // full-order rank
     val prefix = ranked
-      .where((col("sz") - col("nshared")) + col("rk") <=
+      .where(col("rkf") <=
         col("sz") - ceil(lit(threshold) * col("sz") * lit(1.0 - 4e-16)) + 1)
-      .select("doc_id", "gram")
-    // self-alias equality join on prefix grams (one exchange, reused by
+      .select("doc_id", "sz", "rkf", "gram")
+    // Self-alias equality join on prefix grams (one exchange, reused by
     // both sides; shuffle_merge blocks a one-sided broadcast that would
     // re-run the df-join pipeline), then slim (a, b) dedup before the
-    // full-set verify
+    // full-set verify. Two further LOSSLESS prunes from the WWW'07 family
+    // run per matched gram, before the dedup exchange (measured at sf0.1:
+    // candidates 119k -> far fewer, and the verify stage was the query's
+    // single largest cost):
+    //  - LENGTH filter: J(x,y) <= min(sz)/max(sz), so J >= t forces
+    //    min(sz) >= t·max(sz). Pairs failing it can never verify.
+    //  - POSITIONAL filter: J >= t forces |x∩y| >= alpha :=
+    //    ceil(t/(1+t)·(sz_x+sz_y)); for the pair's FIRST common gram in the
+    //    global order (which by the prefix-filter witness is matched by
+    //    this join), all other common grams rank strictly after it in both
+    //    docs, so |x∩y| <= 1 + min(sz_x - rkf_x, sz_y - rkf_y). A match
+    //    failing the bound cannot be the first common gram of a qualifying
+    //    pair; the qualifying pair still survives via that first match.
+    // Both computed thresholds shrink by a relative epsilon like the alpha
+    // prefix arithmetic above: one ulp of upward rounding must weaken the
+    // filter (admit a candidate), never drop a boundary pair. The
+    // positional product stacks one more rounding (the t/(1+t) division),
+    // so its guard is 1e-15, strictly dominating the <=~4.6e-16 error.
+    val alphaFrac = threshold / (1.0 + threshold)
     val cands = prefix.as("l").hint("shuffle_merge")
       .join(prefix.as("r").hint("shuffle_merge"),
-        col("l.gram") === col("r.gram") && col("l.doc_id") < col("r.doc_id"))
+        col("l.gram") === col("r.gram") && col("l.doc_id") < col("r.doc_id")
+          && least(col("l.sz"), col("r.sz")) >=
+            lit(threshold) * greatest(col("l.sz"), col("r.sz")) * lit(1.0 - 4e-16)
+          && lit(1) + least(col("l.sz") - col("l.rkf"), col("r.sz") - col("r.rkf")) >=
+            ceil(lit(alphaFrac) * (col("l.sz") + col("r.sz")) * lit(1.0 - 1e-15)))
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
       .distinct()
     exactJaccardBy(cands, docs, gramUdf(_), narrowToCandidates)

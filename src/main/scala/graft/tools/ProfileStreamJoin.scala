@@ -51,9 +51,10 @@ object ProfileStreamJoin {
     Files.createSymbolicLink(srcDir.resolve("events.parquet"), target)
     val schema = spark.read.parquet(target.toString).schema
 
-    def runOnce(provider: String, parts: Int): RunStats = {
+    def runOnce(provider: String, parts: Int, noData: Boolean = true): RunStats = {
       spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
       spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", noData.toString)
       def src() = spark.readStream.schema(schema).parquet(srcDir.toString)
         .select(col("user_id").cast("long").as("key"),
           col("ts").cast("timestamp").as("ts"), col("event_type").as("payload"))
@@ -84,14 +85,14 @@ object ProfileStreamJoin {
     val hdfs = "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
     val rock = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
     val configs = Seq(
-      ("hdfs-32", hdfs, 32), ("hdfs-8", hdfs, 8),
-      ("rocksdb-32", rock, 32), ("rocksdb-8", rock, 8))
+      ("hdfs-8", hdfs, 8, true), ("hdfs-8-nodata-off", hdfs, 8, false),
+      ("hdfs-4", hdfs, 4, true), ("hdfs-4-nodata-off", hdfs, 4, false))
 
     // warmup (JIT + codegen + source listing), then interleaved timed reps
     runOnce(hdfs, 32)
     val best = scala.collection.mutable.Map.empty[String, RunStats]
-    for (_ <- 1 to reps; (label, p, n) <- configs) {
-      val r = runOnce(p, n)
+    for (_ <- 1 to reps; (label, p, n, nd) <- configs) {
+      val r = runOnce(p, n, nd)
       if (!best.contains(label) || r.wallSec < best(label).wallSec) best(label) = r
     }
 
@@ -99,7 +100,7 @@ object ProfileStreamJoin {
     md.append(s"\n### stream_join_follows profile ($sfDir, min-of-$reps interleaved)\n\n")
     md.append("| config | wall s | batches | trigger ms | addBatch ms | wal+offsets ms | plan ms | state upd ms | state commit ms | state rows peak |\n")
     md.append("|---|---|---|---|---|---|---|---|---|---|\n")
-    configs.foreach { case (label, _, _) =>
+    configs.foreach { case (label, _, _, _) =>
       val r = best(label)
       md.append(f"| $label | ${r.wallSec}%.2f | ${r.batches}%d | ${r.trigMs}%d | ${r.addBatchMs}%d | ${r.walMs + r.offsetsMs}%d | ${r.planMs}%d | ${r.stateUpdMs}%d | ${r.stateCommitMs}%d | ${r.stateRows}%d |\n")
     }
