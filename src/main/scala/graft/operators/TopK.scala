@@ -197,11 +197,33 @@ object TopK {
     * differential-testing baseline (SURVEY.md §5.3). Spark picks
     * hash-aggregate + TakeOrderedAndProject here; at scale this is the
     * expensive exact plan the sketch replaces.
+    *
+    * Integral item columns aggregate on the RAW value and cast to string
+    * only after the group-by: int→string is injective, so the groups (and
+    * the final (count desc, item-string asc) order) are identical, while
+    * the per-row cast — one UTF8String allocation per input row, and
+    * string hashing through the whole partial aggregate — collapses to one
+    * cast per distinct item. Measured on the 20M-token bench table: the
+    * map-side aggregate stage was the job's entire cost.
     */
-  def exact(df: DataFrame, item: Column, weight: Column, k: Int): DataFrame =
-    df.select(item.cast("string").as("item"), weight.cast("long").as("weight"))
-      .groupBy(col("item"))
-      .agg(sum(col("weight")).as("count"))
+  def exact(df: DataFrame, item: Column, weight: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val projected = df.select(item.as("_i"), weight.cast("long").as("weight"))
+    val integral = projected.schema.head.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _                                             => false
+    }
+    val grouped =
+      if (integral)
+        projected.groupBy(col("_i"))
+          .agg(sum(col("weight")).as("count"))
+          .select(col("_i").cast("string").as("item"), col("count"))
+      else
+        projected.select(col("_i").cast("string").as("item"), col("weight"))
+          .groupBy(col("item"))
+          .agg(sum(col("weight")).as("count"))
+    grouped
       .orderBy(col("count").desc, col("item").asc)
       .limit(k)
+  }
 }

@@ -80,14 +80,18 @@ object TokenTables {
     spark.read.format(format).load(dir)
 
   /** Explode a sequence table into the (item, weight) token-update stream the
-    * sketch consumes: one update of weight 1 per token occurrence, item =
-    * canonical base-10 token id (SURVEY.md §1.4). Column pruning keeps the
-    * scan at `tokens` (+ any requested passthrough columns) only.
+    * sketch consumes: one update of weight 1 per token occurrence. `item`
+    * stays the RAW int token id; the canonical base-10 string form
+    * (SURVEY.md §1.4) is produced by the consumer — TopK.aggregate casts
+    * per row inside its projection (unchanged work), and TopK.exact groups
+    * integral items natively and casts once per distinct item instead of
+    * once per occurrence. Column pruning keeps the scan at `tokens`
+    * (+ any requested passthrough columns) only.
     */
   def tokenUpdates(df: DataFrame, passthrough: Seq[String] = Nil): DataFrame = {
     val cols = passthrough.map(col) :+ explode(col("tokens")).as("token")
     df.select(cols: _*)
-      .select((passthrough.map(col) :+ col("token").cast("string").as("item")
+      .select((passthrough.map(col) :+ col("token").as("item")
         :+ lit(1L).as("weight")): _*)
   }
 

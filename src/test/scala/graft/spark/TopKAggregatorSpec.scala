@@ -39,6 +39,25 @@ class TopKAggregatorSpec extends AnyFunSuite {
     assert(ours == exact)
   }
 
+  test("exact: integral items aggregate natively but match the string-grouped result") {
+    // TopK.exact pushes the string cast PAST the aggregate for integral
+    // item columns (injective, so groups are identical) — the result must
+    // be row-for-row equal to grouping on the pre-cast strings, including
+    // the string tie-order at the k boundary ("10" < "9") and null items.
+    val rows = (0 until 4000).map(i => (i % 23, (i % 5 + 1).toLong)) ++
+      Seq((1000, 3L), (1000, 4L)) // distinct item beyond two digits
+    val df = spark.createDataFrame(rows).toDF("item", "weight")
+      .unionAll(Seq((null.asInstanceOf[Integer], 2L)).toDF("item", "weight")
+        .select(col("item").cast("int").as("item"), col("weight")))
+    val viaInt = TopK.exact(df, col("item"), col("weight"), 7)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val viaString = TopK.exact(
+        df.select(col("item").cast("string").as("item"), col("weight")),
+        col("item"), col("weight"), 7)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(viaInt == viaString)
+  }
+
   test("statistical: skewed stream, no over-estimation, high recall") {
     val n     = 50000
     val rng   = new java.util.Random(7)
