@@ -313,11 +313,20 @@ object Dedup {
         least(col("l.sz"), col("r.sz")) >=
           lit(t) * greatest(col("l.sz"), col("r.sz")) * lit(1.0 - 4e-16))
       .getOrElse(lit(true))
+    // The explicit (a, b)-keyed repartition REPLACES the distinct's own
+    // exchange (HashPartitioning(a, b, n) already satisfies the group-by's
+    // distribution) while pinning the partition count: the stage after this
+    // exchange — pair dedup, the two signature joins, the 128-slot zip_with
+    // estimate — is compute-dense per byte, and AQE's byte-based coalescing
+    // was bundling it into two tasks at sf0.1 (1.9 s of task time at 2-way
+    // parallelism; same failure mode as exactJaccardBy's verify spread).
+    val dedupParts = df.sparkSession.sessionState.conf.numShufflePartitions
     val cands = banded.as("l").hint("shuffle_merge")
       .join(banded.as("r").hint("shuffle_merge"),
         col("l.band") === col("r.band") && col("l.band_hash") === col("r.band_hash")
           && col("l.doc_id") < col("r.doc_id") && szOk)
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+      .repartition(dedupParts, col("a"), col("b"))
       .distinct()
 
     cands
