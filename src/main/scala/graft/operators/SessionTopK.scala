@@ -81,7 +81,17 @@ object SessionTopK {
     val byKey = Window.partitionBy(col("key")).orderBy(col("ts"))
     val base = df.select(key.as("key"), ts.as("ts"),
       item.cast("string").as("item"), weight.cast("long").as("weight"))
+    // Pin the key exchange's partition count: the stage it feeds — per-key
+    // sort, two window passes, and the per-session aggregate — is
+    // compute-dense per byte, and AQE's byte-based coalescing bundles the
+    // slim event rows into a single task at small shuffle sizes (measured:
+    // 441 ms single-task at sf0.1, the query's largest stage). The
+    // repartition REPLACES the window's own exchange (HashPartitioning
+    // (key, n) satisfies its required distribution), so the one-exchange
+    // plan shape is unchanged at any scale.
+    val keyParts = df.sparkSession.sessionState.conf.numShufflePartitions
     val sessions = base
+      .repartition(keyParts, col("key"))
       .withColumn("prev_ts", lag(col("ts"), 1).over(byKey))
       .withColumn("brk",
         when(col("prev_ts").isNull ||
