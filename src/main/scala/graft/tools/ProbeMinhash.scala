@@ -55,6 +55,15 @@ object ProbeMinhash {
       Dedup.exactJaccard(cand.select("a", "b"), docs, shingleSize = 5)
         .where(col("jaccard") >= 0.8).count()
     }
+    // 5. full pipeline with the size filter pinned to the verify threshold
+    // (the driver-query composition; lossless for the >= 0.8 final filter)
+    stage("full (+sizeFilter 0.8)") {
+      val cand = Dedup.minhashLshPairs(docs, col("doc_id"), col("text"),
+        shingleSize = 5, numHashes = 128, bands = 32, threshold = 0.7,
+        sizeFilter = Some(0.8))
+      Dedup.exactJaccard(cand.select("a", "b"), docs, shingleSize = 5)
+        .where(col("jaccard") >= 0.8).count()
+    }
     spark.stop()
   }
 }
