@@ -325,6 +325,38 @@ class TrainingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ngram candidate filters: length/positional thresholds never overshoot") {
+    // the join predicate prunes on t·max(sz) (length filter) and
+    // ceil(t/(1+t)·(sx+sy)) (positional filter), both computed in double
+    // math; overshooting either would DROP a boundary pair (recall < 1),
+    // so pin: computed-length-threshold <= exact t·max, and
+    // computed-alpha <= exact ceil(t/(1+t)·S), via BigDecimal over the
+    // caller's decimal threshold — same discipline as the prefix-alpha
+    // test above, including the sizes where one ulp is large.
+    val sizes = Seq(1L, 2L, 4L, 5L, 7L, 100L, 999L, 1000000L, 9999999L,
+      10000001L, 33554432L, 42000000L, 999999937L, 4000000000L)
+    val thresholds = Seq(0.5, 0.534, 0.7, 0.8, 0.81, 0.85, 0.9, 0.937, 0.99, 1.0)
+    for (t <- thresholds; max <- sizes) {
+      // length filter: a subset pair with min = ceil(t·max) has J >= t and
+      // must survive min >= t·max·(1-4e-16)
+      val exactMin = (BigDecimal(t.toString) * BigDecimal(max))
+        .setScale(0, BigDecimal.RoundingMode.CEILING).toLongExact
+      assert(exactMin.toDouble >= t * max.toDouble * (1.0 - 4e-16),
+        s"length filter would drop the boundary subset pair at t=$t max=$max")
+      // positional filter: alpha must not exceed the exact ceiling
+      for (other <- Seq(max, math.max(1L, exactMin))) {
+        val s = max + other
+        val gotAlpha = math.ceil(t / (1.0 + t) * s.toDouble * (1.0 - 1e-15)).toLong
+        val exactAlpha = (BigDecimal(t.toString) / (BigDecimal(1) + BigDecimal(t.toString))
+          * BigDecimal(s)).setScale(0, BigDecimal.RoundingMode.CEILING).toLongExact
+        assert(gotAlpha <= exactAlpha,
+          s"alpha OVERSHOOTS at t=$t sizes=($max,$other): $gotAlpha > $exactAlpha")
+        assert(gotAlpha >= exactAlpha - 1,
+          s"alpha undershoots by >1 at t=$t sizes=($max,$other)")
+      }
+    }
+  }
+
   test("ngram Jaccard prefix filter: exact parity with brute force, incl. short docs") {
     // seeded corpus stressing the recall-breaking regimes of a sketch-based
     // method: tiny gram sets (4-6 grams at the 0.8 boundary), exact dups,
@@ -343,7 +375,13 @@ class TrainingOpsSpec extends AnyFunSuite {
     val shorts = (0L until 10L).map(i => (200L + i, sentence(7)))
     val shortDups  = shorts.take(3).map { case (i, s) => (i + 100L, s) }
     val degenerate = Seq((400L, null: String), (401L, ""), (402L, "one two"), (403L, "   "))
-    val all = longs ++ edits ++ shorts ++ shortDups ++ degenerate
+    // subset pair at EXACTLY the threshold: 4 trigrams ⊂ 5 trigrams gives
+    // J = 4/5 = 0.8 — the length filter's min == ceil(t·max) boundary and
+    // the positional filter's alpha boundary must both keep it
+    val boundary = Seq(
+      (500L, "alpha beta gamma delta epsilon zeta eta"), // 7 toks -> 5 grams
+      (501L, "alpha beta gamma delta epsilon zeta"))     // 6 toks -> 4 grams (subset)
+    val all = longs ++ edits ++ shorts ++ shortDups ++ degenerate ++ boundary
 
     for (t <- Seq(0.8, 1.0)) {
       val expected = bruteNgramJaccard(all, 3, t)
