@@ -272,15 +272,24 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    // _sh is referenced twice below (signature + size); a ScalaUDF is not
-    // "cheap to duplicate", so CollapseProject keeps the projections apart
-    // and the shingle pass runs ONCE per row
+    // Empty-shingle rows (null text, or text shorter than the shingle
+    // window) are excluded on the RAW column, not via size(sig) > 0: a
+    // predicate over the UDF column gets pushed below the projection and
+    // re-evaluates the whole shingle+signature pipeline inside the Filter
+    // (observed as `size(UDF(UDF(text))) > 0` per subplan copy in the
+    // sf0.1 plan — one extra full evaluation per doc per copy). The raw
+    // predicate is exactly equivalent — shingleHashes is empty iff
+    // text IS NULL OR length < shingleSize, and minhashSignature is empty
+    // iff its input is — and it reaches the parquet scan as a pushed
+    // filter. _sh is referenced twice below (signature + size); a ScalaUDF
+    // is not "cheap to duplicate", so CollapseProject keeps the
+    // projections apart and the shingle pass runs ONCE per row.
     val sigs = df.select(id.cast("long").as("doc_id"), text.as("text"))
+      .where(col("text").isNotNull && length(col("text")) >= shingleSize)
       .withColumn("_sh", shingleHashes(shingleSize)(col("text")))
       .select(col("doc_id"),
         minhashSignature(numHashes)(col("_sh")).as("sig"),
         size(col("_sh")).as("sz"))
-      .where(size(col("sig")) > 0)
 
     // band key = xxhash64 over the band's slice of the signature. The banded
     // rows are SLIM — (doc_id, band, band_hash), 24 bytes (+8 for the
@@ -471,9 +480,13 @@ object Dedup {
     val gramUdf = wordNgramHashes(n)
     // (doc_id, set size, gram) rows; sz rides the explode (8 bytes) so no
     // second window pass is needed for the prefix-length arithmetic
+    // NO size(grams) > 0 pre-filter: explode of an empty array already
+    // yields no rows, and the predicate would be pushed below the
+    // projection and re-evaluate the gram UDF inside the Filter (observed
+    // as `size(UDF(text)) > 0 AND isnotnull(UDF(text))` — two extra full
+    // tokenize+hash passes per doc in the sf0.1 plan)
     val grams = docs
       .select(col("doc_id"), gramUdf(col("text")).as("grams"))
-      .where(size(col("grams")) > 0)
       .select(col("doc_id"), size(col("grams")).as("sz"), explode(col("grams")).as("gram"))
     // global document frequency — the rarest-first order making prefixes
     // selective. groupBy + join-back evaluates the gram subplan twice (two
