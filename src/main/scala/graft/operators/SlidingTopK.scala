@@ -83,7 +83,16 @@ object SlidingTopK {
         .as("out_tick"), col("sketch"))
       .join(broadcast(tickList), Seq("out_tick"), "left_semi")
     val mergeUdaf = udaf(new MergeSketchesAggregator(cfg, k))
+    // Pin the merge exchange's width: the union-merge stage decodes and
+    // merges N sketch blobs per tick — compute-dense per byte on a few MB
+    // of blobs, which AQE's byte-based coalescing otherwise bundles into
+    // one task (same pattern as the grid kernel / verify spreads). The
+    // repartition REPLACES the groupBy's own exchange
+    // (HashPartitioning(out_tick, n) satisfies its distribution), so the
+    // shuffle count is unchanged at any scale.
+    val mergeParts = spark.sessionState.conf.numShufflePartitions
     window
+      .repartition(mergeParts, col("out_tick"))
       .groupBy(col("out_tick"))
       .agg(mergeUdaf(col("sketch")).as("topk"))
       .select(col("out_tick").as("tick"), posexplode(col("topk")).as(Seq("rank0", "e")))
