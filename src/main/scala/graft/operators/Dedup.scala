@@ -273,19 +273,29 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     // Empty-shingle rows (null text, or text shorter than the shingle
-    // window) are excluded on the RAW column, not via size(sig) > 0: a
-    // predicate over the UDF column gets pushed below the projection and
+    // window) used to be excluded via `size(sig) > 0` — but a predicate
+    // over the UDF column gets pushed below the projection and
     // re-evaluates the whole shingle+signature pipeline inside the Filter
     // (observed as `size(UDF(UDF(text))) > 0` per subplan copy in the
-    // sf0.1 plan — one extra full evaluation per doc per copy). The raw
-    // predicate is exactly equivalent — shingleHashes is empty iff
-    // text IS NULL OR length < shingleSize, and minhashSignature is empty
-    // iff its input is — and it reaches the parquet scan as a pushed
-    // filter. _sh is referenced twice below (signature + size); a ScalaUDF
-    // is not "cheap to duplicate", so CollapseProject keeps the
-    // projections apart and the shingle pass runs ONCE per row.
+    // sf0.1 plan — one extra full evaluation per doc per copy). Replaced
+    // by two UDF-free pieces that together keep EXACTLY the same rows out
+    // of the band join for every input:
+    //  1. a RAW-column pre-filter, `octet_length(text) >= shingleSize`,
+    //     pushable to the parquet scan. It is a NECESSARY condition for a
+    //     non-empty shingle set (UTF-8 bytes >= UTF-16 units >= the
+    //     shingle window), chosen over `length(text)` — Spark's length
+    //     counts CODE POINTS while the UDF windows over UTF-16 units, so
+    //     a code-point filter would wrongly drop astral-character texts
+    //     whose unit count reaches the window;
+    //  2. the banding guard below, which emits NO band rows for the rare
+    //     rows that pass 1 but still shingle empty (short multi-byte
+    //     texts) — a cheap check on the materialized sig ATTRIBUTE, not
+    //     on the UDF expression.
+    // _sh is referenced twice below (signature + size); a ScalaUDF is not
+    // "cheap to duplicate", so CollapseProject keeps the projections
+    // apart and the shingle pass runs ONCE per row.
     val sigs = df.select(id.cast("long").as("doc_id"), text.as("text"))
-      .where(col("text").isNotNull && length(col("text")) >= shingleSize)
+      .where(col("text").isNotNull && octet_length(col("text")) >= shingleSize)
       .withColumn("_sh", shingleHashes(shingleSize)(col("text")))
       .select(col("doc_id"),
         minhashSignature(numHashes)(col("_sh")).as("sig"),
@@ -299,8 +309,17 @@ object Dedup {
     // sort-spill cliff at scale (500k docs: ~16M banded rows ≈ 20 GB
     // sorted, 361 s; slim banding + sig-join-after-distinct: 23 s —
     // BENCH.md scale rehearsal).
-    val bandKey = posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-      xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))).as(Seq("band", "band_hash"))
+    // empty-sig guard (piece 2 of the empty-shingle exclusion above): an
+    // empty signature would band every such doc into ONE degenerate
+    // bucket — the quadratic blowup this operator's contract forbids.
+    // `sig` is a materialized attribute here, so the size check costs an
+    // array-length read, never a UDF re-evaluation; posexplode of the
+    // empty array emits no rows, exactly like the old size(sig) > 0 row
+    // filter.
+    val bandKey = posexplode(when(size(col("sig")) > 0,
+        transform(sequence(lit(0), lit(bands - 1)), b =>
+          xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b)))
+      .otherwise(array().cast("array<bigint>"))).as(Seq("band", "band_hash"))
     val banded =
       if (sizeFilter.isDefined) sigs.select(col("doc_id"), col("sz"), bandKey)
       else sigs.select(col("doc_id"), bandKey)

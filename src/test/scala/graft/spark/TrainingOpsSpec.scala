@@ -56,6 +56,22 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(math.abs(withExact - est) < 0.2, s"exact=$withExact est=$est")
   }
 
+  test("minhash: multi-byte and astral texts keep the empty-shingle exclusion") {
+    // 3 CJK chars: 9 UTF-8 bytes pass the scan pre-filter but shingle
+    // EMPTY (3 UTF-16 units < 5-unit window) — the banding guard must emit
+    // no bands, so identical copies must NOT pair (the old size(sig) > 0
+    // semantics). Astral text: 3 surrogate-pair emoji + "ab" = 8 UTF-16
+    // units >= 5 but only 5 CODE POINTS — a code-point length() pre-filter
+    // would wrongly drop it; identical copies MUST pair.
+    val cjk    = "中文字"
+    val astral = "😀😁😂ab"
+    val docs = Seq((1L, cjk), (2L, cjk), (3L, astral), (4L, astral),
+      (5L, null: String)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(docs, $"doc_id", $"text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((3L, 4L)), s"got $pairs")
+  }
+
   test("simhash: near-identical texts pair with small hamming, unrelated don't") {
     // simhash needs enough tokens that a one-token edit can't flip many bit
     // accumulators — use a long doc (the realistic regime for simhash dedup)
