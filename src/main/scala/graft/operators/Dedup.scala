@@ -483,6 +483,13 @@ object Dedup {
     * overhead exceeds the saving — `Some(false)` measured 1.33x faster
     * there (tools/ProbeNgram) — while sparse production corpora keep the
     * default cutover's win (verify table ∝ candidates, not corpus).
+    *
+    * ID REQUIREMENT (ADVICE r5): `id` is cast to long, like every
+    * pair-emitting operator here. A non-numeric id column casts to null,
+    * and null ids fail the `a < b` pair predicate — a string-id corpus
+    * would silently return ZERO pairs from an operator whose contract is
+    * recall 1. Map string ids to longs (e.g. xxhash64 + a collision-checked
+    * dictionary, or a dense rank) before calling.
     */
   def ngramJaccardPairs(
       df: DataFrame,
