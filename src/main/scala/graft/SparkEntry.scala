@@ -140,8 +140,14 @@ object SparkEntry {
     * session's scan parallelism. Measured on stream_join_follows at sf0.1
     * (tools/ProfileStreamJoin, min-of-2 interleaved): 32 partitions = 5.9 s
     * wall with 85 s of cumulative store-commit time; 8 partitions = 2.6 s
-    * with 3.7 s. At production state sizes (GBs per store) this dial moves
-    * the other way — raise it until per-store state fits executor memory.
+    * with 3.7 s. Re-measured for the ONE-store flatMapGroupsWithState
+    * queries (tools/TimeQuery min-of-3 at sf0.1, tumbling/sliding/sessions):
+    * 8 = 1.61/1.71/2.35 s, 16 = 2.16/2.16/3.28 s, 32 = 2.47/2.85/3.69 s —
+    * per-partition store open/commit dominates added parallelism even at
+    * one store per partition, so 8 is the measured optimum for BOTH query
+    * families here. At production state sizes (GBs per store) this dial
+    * moves the other way — raise it until per-store state fits executor
+    * memory.
     */
   private val StreamStatePartitions = 8
 
