@@ -442,11 +442,21 @@ object Dedup {
     // satisfies the join's distribution when n = shuffle partitions).
     val spread = pairs.repartition(
       docs.sparkSession.sessionState.conf.numShufflePartitions, col("a"))
+    // Intersection via the primitive-table kernel (value-identical to
+    // size(array_intersect), see LongIntersectCount), union by arithmetic:
+    // the gram arrays are DISTINCT by this method's contract, so
+    // |A ∪ B| = |A| + |B| − |A ∩ B| exactly — the second boxed set-build
+    // (array_union) was pure waste. Same integers feed the same double
+    // division, so the jaccard values (and the 0/0 → NULL convention) are
+    // bit-identical to the built-in chain this replaces.
+    val interC = graft.plans.LongIntersectCount(col("sh_a"), col("sh_b"))
     spread
       .join(sh.select(col("doc_id").as("a"), col("sh").as("sh_a")), Seq("a"))
       .join(sh.select(col("doc_id").as("b"), col("sh").as("sh_b")), Seq("b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("interc", interC)
+      .withColumn("inter", col("interc").cast("double"))
+      .withColumn("uni",
+        (size(col("sh_a")).cast("long") + size(col("sh_b")) - col("interc")).cast("double"))
       .select(col("a"), col("b"), (col("inter") / col("uni")).as("jaccard"))
   }
 
